@@ -1,0 +1,48 @@
+"""Shared query-path helpers: stats/dictionary lookups, idf."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..tableio import TableIO
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def load_stats(spark: SparkSession, io: TableIO) -> tuple[int, float]:
+    r = io.read(spark, "corpus_stats").collect()[0]
+    return int(r["n_docs"]), float(r["avgdl"])
+
+
+def query_term_stats(
+    spark: SparkSession, io: TableIO, terms: list[str], n_docs: int
+) -> dict[str, dict]:
+    """{term: {df, idf, max_wtf}} for terms present in the dictionary.
+
+    The dictionary scan is pruned by parquet min/max on the sorted term
+    column — at design scale this touches a handful of row groups.
+    """
+    if not terms:
+        return {}
+    rows = (
+        io.read(spark, "dictionary")
+        .where(F.col("term").isin(terms))
+        .select("term", "df", "max_wtf")
+        .collect()
+    )
+    return {
+        r["term"]: {
+            "df": int(r["df"]),
+            "idf": idf(n_docs, int(r["df"])),
+            "max_wtf": float(r["max_wtf"]) if r["max_wtf"] is not None else 0.0,
+        }
+        for r in rows
+    }

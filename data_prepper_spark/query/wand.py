@@ -1,0 +1,232 @@
+"""Block-max WAND top-k over the compressed posting_blocks table.
+
+Distributed strategy: shards are disjoint doc_id ranges (index/build.py),
+so each shard runs an independent, fully sequential block-max WAND over the
+query terms' blocks and emits a local top-k; the global answer is the merge
+(``ORDER BY score DESC, doc_id ASC LIMIT k`` = TakeOrderedAndProject). No
+cross-shard state, no driver-side postings — the only data leaving an
+executor is k rows per shard.
+
+The scan is pruned by ``term IN (...)`` pushed to parquet (blocks are
+written sorted by term within each shard partition), so a query touches
+only its terms' row groups in each shard.
+
+Correctness guardrails (rank-identity vs the DataFrame path + oracle):
+- per-term upper bounds and block maxima are inflated by 1 + 1e-9 before
+  pruning so float rounding can never prune a true top-k member;
+- pruning uses ``> theta - eps`` (candidates tying theta get evaluated)
+  and final ordering ties break on doc_id ascending.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analyzer import tokenize_py
+from ..tableio import TableIO
+from .common import K1, B, load_stats, query_term_stats
+from ..index.varint import decode_doc_ids, decode_varints
+
+_INF = np.iinfo(np.int64).max
+_EPS = 1e-12
+_UB_INFLATE = 1.0 + 1e-9
+
+
+class _Cursor:
+    """Per-term posting cursor over that term's blocks within one shard."""
+
+    __slots__ = (
+        "idf", "global_ub", "firsts", "lasts", "gaps", "tfs_b", "dls_b",
+        "n_in_block", "block_maxes", "bi", "docs", "tfs", "dls", "pos",
+    )
+
+    def __init__(self, idf: float, bdf: pd.DataFrame, avgdl: float):
+        b = bdf.sort_values("block_id")
+        self.idf = idf
+        self.firsts = b["first_doc_id"].to_numpy(np.int64)
+        self.n_in_block = b["n_docs"].to_numpy(np.int64)
+        self.gaps = b["doc_gaps"].tolist()
+        self.tfs_b = b["tfs"].tolist()
+        self.dls_b = b["dls"].tolist()
+        self.block_maxes = b["block_max_wtf"].to_numpy(np.float64) * idf * _UB_INFLATE
+        self.global_ub = float(self.block_maxes.max()) if len(b) else 0.0
+        # last doc_id per block = first of next block - 1 is unknown without
+        # decode; store exact last via decode-on-demand, init with next-first
+        self.lasts = np.empty(len(self.firsts), dtype=np.int64)
+        self.lasts[:-1] = self.firsts[1:] - 1  # upper bound, exact enough for skipping
+        self.lasts[-1] = _INF
+        self.bi = -1
+        self.pos = 0
+        self.docs = self.tfs = self.dls = None
+        self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= len(self.firsts):
+            self.bi = len(self.firsts)
+            self.docs = np.array([_INF], dtype=np.int64)
+            self.tfs = np.array([0.0])
+            self.dls = np.array([1.0])
+            self.pos = 0
+            return
+        n = int(self.n_in_block[bi])
+        self.bi = bi
+        self.docs = decode_doc_ids(int(self.firsts[bi]), self.gaps[bi], n)
+        self.tfs = decode_varints(self.tfs_b[bi], n).astype(np.float64)
+        self.dls = decode_varints(self.dls_b[bi], n).astype(np.float64)
+        self.pos = 0
+
+    @property
+    def doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    def exhausted(self) -> bool:
+        return self.bi >= len(self.firsts)
+
+    def block_ub(self) -> float:
+        """idf-scaled max score of the current block."""
+        if self.exhausted():
+            return 0.0
+        return float(self.block_maxes[self.bi])
+
+    def block_last(self) -> int:
+        return _INF if self.exhausted() else int(self.lasts[self.bi])
+
+    def next_geq(self, target: int) -> None:
+        if self.exhausted():
+            return
+        if self.docs[-1] < target:
+            # jump to the block whose first <= target <= (next first - 1)
+            nbi = int(np.searchsorted(self.firsts, target, side="right"))
+            # block nbi-1 may still contain target; its decoded max is docs[-1]
+            if nbi - 1 > self.bi:
+                self._load_block(nbi - 1)
+                if self.exhausted():
+                    return
+            while self.docs[-1] < target:
+                self._load_block(self.bi + 1)
+                if self.exhausted():
+                    return
+        p = int(np.searchsorted(self.docs, target, side="left"))
+        if p >= len(self.docs):
+            self._load_block(self.bi + 1)
+        else:
+            self.pos = p
+
+    def score_current(self, avgdl: float) -> float:
+        tf = self.tfs[self.pos]
+        dl = self.dls[self.pos]
+        return self.idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+
+def _wand_shard(
+    groups: pd.DataFrame, tstats: dict[str, dict], avgdl: float, k: int
+) -> list[tuple[int, float]]:
+    cursors = []
+    for term, bdf in groups.groupby("term"):
+        st = tstats.get(term)
+        if st is not None:
+            cursors.append(_Cursor(st["idf"], bdf, avgdl))
+    cursors = [c for c in cursors if not c.exhausted()]
+    # top-k kept as (score, -doc_id) min-heap semantics via sorted list; k is
+    # small (<=100) so an insort is cheaper than heap bookkeeping in Python.
+    import bisect
+
+    top: list[tuple[float, int]] = []  # (score, -doc_id), ascending
+
+    def theta() -> float:
+        return top[0][0] if len(top) >= k else -1.0
+
+    while cursors:
+        cursors.sort(key=lambda c: c.doc)
+        while cursors and cursors[-1].exhausted():
+            cursors.pop()
+        if not cursors:
+            break
+        th = theta()
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            acc += c.global_ub
+            if acc > th - _EPS:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # even all terms together cannot beat theta
+        pivot_doc = cursors[pivot].doc
+        if pivot_doc == _INF:
+            break
+        if cursors[0].doc == pivot_doc:
+            # aligned: cursors[0..pivot] all sit exactly on pivot_doc, so
+            # their current blocks contain it — block-max refinement first
+            bm = sum(c.block_ub() for c in cursors[: pivot + 1])
+            if bm > th - _EPS:
+                score = 0.0
+                matched = []
+                for c in cursors:
+                    if not c.exhausted() and c.doc == pivot_doc:
+                        score += c.score_current(avgdl)
+                        matched.append(c)
+                if score > th - _EPS:
+                    key = (score, -pivot_doc)
+                    if len(top) < k:
+                        bisect.insort(top, key)
+                    elif key > top[0]:
+                        top.pop(0)
+                        bisect.insort(top, key)
+                for c in matched:
+                    c.next_geq(pivot_doc + 1)
+            else:
+                # safe skip: within [pivot_doc, d') only cursors[0..pivot]
+                # can match, and their block maxes sum <= theta
+                d_next = min(c.block_last() for c in cursors[: pivot + 1]) + 1
+                if pivot + 1 < len(cursors):
+                    d_next = min(d_next, cursors[pivot + 1].doc)
+                d_next = max(d_next, pivot_doc + 1)
+                for c in cursors[: pivot + 1]:
+                    if c.doc < d_next:
+                        c.next_geq(d_next)
+        else:
+            # not aligned: advance the smallest cursor up to the pivot doc
+            cursors[0].next_geq(pivot_doc)
+    return [(-negdoc, score) for score, negdoc in sorted(top, reverse=True)]
+
+
+def bm25_topk_wand(
+    spark: SparkSession, index_dir: str, query_text: str, k: int = 10
+) -> DataFrame:
+    """Returns (rank int, doc_id long, score double) via block-max WAND."""
+    io = TableIO(index_dir)
+    n_docs, avgdl = load_stats(spark, io)
+    terms = sorted(set(tokenize_py(query_text)))
+    tstats = query_term_stats(spark, io, terms, n_docs)
+    empty = "rank int, doc_id long, score double"
+    if not tstats:
+        return spark.createDataFrame([], empty)
+    blocks = io.read(spark, "posting_blocks").where(F.col("term").isin(list(tstats)))
+
+    def per_shard(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # mapInPandas over shard-partitioned scan: each incoming batch holds
+        # one shard's term-blocks (we repartition by shard below)
+        buf: dict[int, list[pd.DataFrame]] = {}
+        for pdf in pdfs:
+            for s, grp in pdf.groupby("shard"):
+                buf.setdefault(int(s), []).append(grp)
+        rows = []
+        for s, parts in buf.items():
+            hits = _wand_shard(pd.concat(parts), tstats, avgdl, k)
+            rows.extend(hits)
+        yield pd.DataFrame(rows, columns=["doc_id", "score"]) if rows else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+
+    local = blocks.repartition("shard").mapInPandas(per_shard, "doc_id long, score double")
+    topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return topk.select(w.alias("rank"), "doc_id", "score")

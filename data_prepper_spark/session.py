@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the sandbox (local[N]) but configured the
+way we would submit to a real cluster: AQE on, skew-join on, Arrow on.
+
+On a 1000-executor cluster the same builder is used via spark-submit; only
+``master`` and memory sizing change (they come from the cluster manager).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_prepper_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession.
+
+    cores defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
+    partitions default to 2x cores locally; on a real cluster you would set
+    this to ~2-3x total executor cores (AQE coalesces the excess).
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        # AQE: runtime coalescing + skew-join splitting — first line of
+        # defense against Zipfian term skew (we add salting on top, §M3).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas UDF / mapInPandas exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Multi-KB content strings: keep scan partitions bounded.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
