@@ -1,0 +1,66 @@
+"""Rank-identity: engine (both paths) vs pure-Python oracle (SURVEY §5.2)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.analyzer import duckdb_tokens_sql
+from data_prepper_spark.query.bm25 import bm25_topk
+from data_prepper_spark.query.wand import bm25_topk_wand
+from tests.oracle import bm25_topk as oracle_topk
+
+# query shapes from FIXTURES.md §2: rare term, hot term, hot+rare
+# conjunction, identifier-split, absent term, lang keyword; k in {1,10,100}
+QUERIES = [
+    ("parseJson buffer", 10),
+    ("the", 10),
+    ("the index_merge", 10),
+    ("parse json response", 10),
+    ("zzz_absent_term", 10),
+    ("return", 10),
+    ("scanChunk emitState", 100),
+    ("INDEX_MERGE", 1),
+    ("the int return i", 10),
+    ("flushBatch shard term doc", 25),
+]
+
+
+def _norm(rows):
+    return [(r[0], r[1], round(r[2], 6)) for r in rows]
+
+
+@pytest.mark.parametrize("q,k", QUERIES)
+def test_rank_identity(spark, index_dir, corpus_docs, q, k):
+    want = _norm(oracle_topk(corpus_docs, q, k))
+    got_df = _norm(
+        [(r.rank, r.doc_id, r.score) for r in bm25_topk(spark, index_dir, q, k).collect()]
+    )
+    got_wand = _norm(
+        [(r.rank, r.doc_id, r.score) for r in bm25_topk_wand(spark, index_dir, q, k).collect()]
+    )
+    assert got_df == want
+    assert got_wand == want
+
+
+def test_duckdb_df_dl_crosscheck(spark, corpus_dir, index_dir):
+    """df/doc_len recounted by DuckDB over the raw corpus (SURVEY §5.2)."""
+    con = duckdb.connect()
+    toks = duckdb_tokens_sql("content")
+    duck = con.execute(
+        f"""
+        with t as (select repo, path, commit, unnest({toks}) as term
+                   from read_parquet('{corpus_dir}/*.parquet')),
+        dl as (select repo, path, commit, count(*) as doc_len from t group by all),
+        df as (select term, count(distinct (repo, path, commit)) as df from t group by term)
+        select (select sum(doc_len) from dl) as total_len,
+               (select count(*) from df) as n_terms,
+               (select sum(df) from df) as sum_df
+        """
+    ).fetchone()
+    posts = spark.read.parquet(f"{index_dir}/postings")
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    assert docs.agg(F.sum("doc_len")).collect()[0][0] == duck[0]
+    dic = spark.read.parquet(f"{index_dir}/dictionary")
+    assert dic.count() == duck[1]
+    assert dic.agg(F.sum("df")).collect()[0][0] == duck[2]
+    assert posts.count() == duck[2]
