@@ -1,10 +1,10 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(implemented in data_prepper_spark/) over the driver's parquet tables; the
+matching ``oracle_sql()`` is the ANSI-SQL equivalent DuckDB runs on the
+same tables. Column names and types are aligned on both sides; floats are
+rounded identically before comparison.
 """
 
 from __future__ import annotations
@@ -12,27 +12,576 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_prepper_spark.analyzer import duckdb_tokens_sql, tokens_col
+from data_prepper_spark.operators import aggregate as agg_ops
+from data_prepper_spark.operators import dedupe, multimodal, parse, route, similarity, textstats
+from data_prepper_spark.query.adhoc import bm25_topk_adhoc
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over the documents corpus at sf0.001."""
+    docs = _t(spark, SF_SMOKE, "documents")
+    return bm25_topk_adhoc(docs, "text", "doc_id", "key value table scan", k=10)
+
+
+# --------------------------------------------------------------------------
+# fulltext family (documents)
+# --------------------------------------------------------------------------
+
+FT_TERMS = ["key", "table", "scan", "merge", "row"]
+FT_QUERY = "key value table scan"
+FT_QUERY2 = "merge batch partition checkpoint"
+
+
+def _ft_base(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+
+
+def q_ft_doc_stats(spark, sf_dir):
+    return _ft_base(spark, sf_dir).select("doc_id", F.size("toks").alias("doc_len"))
+
+
+def q_ft_dictionary(spark, sf_dir):
+    return (
+        _ft_base(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf"))
+    )
+
+
+def q_ft_corpus_stats(spark, sf_dir):
+    return _ft_base(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size("toks")), 6).alias("avgdl"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+    )
+
+
+def q_ft_postings(spark, sf_dir):
+    return (
+        _ft_base(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(FT_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def q_ft_bm25_topk(spark, sf_dir):
+    return bm25_topk_adhoc(_t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY, 10)
+
+
+def q_ft_bm25_topk2(spark, sf_dir):
+    return bm25_topk_adhoc(_t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY2, 20)
+
+
+def _ft_oracles() -> dict[str, str]:
+    toks = duckdb_tokens_sql("text")
+    base = f"select doc_id, {toks} as toks from documents"
+    terms_in = ", ".join(f"'{t}'" for t in FT_TERMS)
+
+    def bm25_sql(query_terms: list[str], k: int) -> str:
+        tl = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+        return f"""
+with tk as ({base}),
+dl as (select doc_id, len(toks) as dl from tk),
+posts as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest(toks) as term from tk)
+  where term in ({tl}) group by doc_id, term),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+tdf as (select term, count(*) as df from posts group by term),
+scored as (
+  select p.doc_id,
+         round(sum(ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))), 4) as score
+  from posts p join tdf t using(term) join dl d using(doc_id) cross join stats s
+  group by p.doc_id)
+select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+       doc_id, score
+from scored order by score desc, doc_id asc limit {k}
+"""
+
+    from data_prepper_spark.analyzer import tokenize_py
+
+    return {
+        "ft_doc_stats": f"select doc_id, cast(len(toks) as int) as doc_len from ({base})",
+        "ft_dictionary": f"""
+            select term, count(distinct doc_id) as df, count(*) as cf
+            from (select doc_id, unnest(toks) as term from ({base})) group by term""",
+        "ft_corpus_stats": f"""
+            select count(*) as n_docs, round(avg(len(toks)), 6) as avgdl,
+                   sum(len(toks)) as total_tokens from ({base})""",
+        "ft_postings": f"""
+            select term, doc_id, count(*) as tf
+            from (select doc_id, unnest(toks) as term from ({base}))
+            where term in ({terms_in}) group by term, doc_id""",
+        "ft_bm25_topk": bm25_sql(tokenize_py(FT_QUERY), 10),
+        "ft_bm25_topk2": bm25_sql(tokenize_py(FT_QUERY2), 20),
+    }
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational queries (aggregate / join / filter pushdown)
+# --------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where("l_shipdate <= timestamp '2001-09-02'")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_q3_top_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where("c_mktsegment = 'BUILDING'")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q6_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        "l_shipdate >= timestamp '2000-01-01' and l_shipdate < timestamp '2001-01-01' "
+        "and l_discount between 0.05 and 0.07 and l_quantity < 24"
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def _tpch_oracles() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_discount), 4) as avg_disc,
+                   count(*) as count_order
+            from lineitem where l_shipdate <= timestamp '2001-09-02'
+            group by l_returnflag, l_linestatus""",
+        "q3_top_revenue": """
+            select o_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            where c_mktsegment = 'BUILDING'
+            group by o_orderkey, o_orderpriority
+            order by revenue desc, o_orderkey asc limit 10""",
+        "q6_revenue": """
+            select round(sum(l_extendedprice * l_discount), 2) as revenue
+            from lineitem
+            where l_shipdate >= timestamp '2000-01-01' and l_shipdate < timestamp '2001-01-01'
+              and l_discount between 0.05 and 0.07 and l_quantity < 24""",
+    }
+
+
+# --------------------------------------------------------------------------
+# events: parse / window-agg / dedupe / route / mutate (Data Prepper ops)
+# --------------------------------------------------------------------------
+
+ROUTES = {
+    "errors": "event_type = 'error'",
+    "high_value": "value >= 400",
+    "clicks_or_views": "event_type in ('click', 'view')",
+}
+
+
+def q_events_parse_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ev = parse.parse_json(ev, source="props", schema="k int", destination="parsed")
+    return ev.select("event_id", "event_type", F.col("parsed.k").alias("k")).where("k > 80")
+
+
+def q_events_windowed_count(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.date_trunc("hour", "ts"))
+    return agg_ops.count(ev, ["event_type", "hour"], count_key="value_count")
+
+
+def q_events_histogram(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return agg_ops.histogram(ev, ["event_type"], "value", [0.0, 500.0] + [25.0 * i for i in range(1, 20)]).select(
+        "event_type",
+        "bucket",
+        "bucket_count",
+        F.round("min", 4).alias("min_value"),
+        F.round("max", 4).alias("max_value"),
+        F.round("sum", 4).alias("sum_value"),
+    )
+
+
+def q_events_remove_duplicates(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first = agg_ops.remove_duplicates(
+        ev.withColumn("__ord", F.struct("ts", "event_id")), ["user_id", "event_type"], "__ord"
+    )
+    return first.select("event_id", "user_id", "event_type", "ts", F.round("value", 4).alias("value"))
+
+
+def q_events_route_counts(spark, sf_dir):
+    return route.route_counts(_t(spark, sf_dir, "events"), ROUTES)
+
+
+def q_events_mutate_chain(spark, sf_dir):
+    from data_prepper_spark.operators import mutate
+
+    ev = _t(spark, sf_dir, "events")
+    ev = mutate.add_entries(ev, [{"key": "label", "format": "${event_type}:${user_id}"}])
+    ev = mutate.uppercase_string(ev, ["event_type"])
+    ev = mutate.substitute_string(ev, [{"source": "props", "from": r"[{}\"]", "to": ""}])
+    ev = ev.withColumn("value_floor", F.floor("value").cast("long"))
+    return ev.select("event_id", "label", "event_type", "props", "value_floor")
+
+
+def q_translate_tiers(spark, sf_dir):
+    from data_prepper_spark.operators.translate import translate_map, translate_ranges
+
+    ev = _t(spark, sf_dir, "events")
+    ev = translate_ranges(ev, "value", "tier", [(0, 10, "low"), (10, 50, "mid")], default="high")
+    ev = translate_map(
+        ev,
+        "event_type",
+        "category",
+        {"click": "ui", "view": "ui", "error": "ops", "purchase": "commerce"},
+        default="other",
+    )
+    return ev.groupBy("tier", "category").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _events_oracles() -> dict[str, str]:
+    bucket_case = (
+        "cast(case when value < 0 then 0 when value >= 500 then 21 "
+        "else floor(value / 25) + 1 end as bigint)"
+    )
+    return {
+        "events_parse_json": """
+            select event_id, event_type,
+                   cast(regexp_extract(props, '"k": ([0-9]+)', 1) as int) as k
+            from events where cast(regexp_extract(props, '"k": ([0-9]+)', 1) as int) > 80""",
+        "events_windowed_count": """
+            select event_type, date_trunc('hour', ts) as hour, count(*) as value_count
+            from events group by event_type, date_trunc('hour', ts)""",
+        "events_histogram": f"""
+            select event_type, {bucket_case} as bucket, count(*) as bucket_count,
+                   round(min(value), 4) as min_value, round(max(value), 4) as max_value,
+                   round(sum(value), 4) as sum_value
+            from events group by event_type, {bucket_case}""",
+        "events_remove_duplicates": """
+            select event_id, user_id, event_type, ts, round(value, 4) as value
+            from events
+            qualify row_number() over (partition by user_id, event_type
+                                       order by ts asc, event_id asc) = 1""",
+        "events_route_counts": """
+            select sum(case when event_type = 'error' then 1 else 0 end) as errors,
+                   sum(case when value >= 400 then 1 else 0 end) as high_value,
+                   sum(case when event_type in ('click','view') then 1 else 0 end) as clicks_or_views
+            from events""",
+        "events_mutate_chain": """
+            select event_id, event_type || ':' || cast(user_id as varchar) as label,
+                   upper(event_type) as event_type,
+                   regexp_replace(props, '[{}"]', '', 'g') as props,
+                   cast(floor(value) as bigint) as value_floor
+            from events""",
+        "translate_tiers": """
+            select case when value >= 0 and value < 10 then 'low'
+                        when value >= 10 and value < 50 then 'mid'
+                        else 'high' end as tier,
+                   case event_type when 'click' then 'ui' when 'view' then 'ui'
+                        when 'error' then 'ops' when 'purchase' then 'commerce'
+                        else 'other' end as category,
+                   count(*) as n
+            from events group by 1, 2""",
+    }
+
+
+# --------------------------------------------------------------------------
+# parse round-trips: grok / key_value / dissect / date
+# --------------------------------------------------------------------------
+
+
+def _event_logline(ev: DataFrame) -> DataFrame:
+    ip = F.format_string(
+        "10.%d.%d.%d",
+        F.col("user_id") % 200,
+        F.col("event_id") % 256,
+        (F.col("user_id") * 7) % 254 + 1,
+    )
+    line = F.format_string(
+        '%s - user%d [01/Jan/2024:00:00:00 +0000] "GET /api/%s HTTP/1.0" %d %d',
+        ip,
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("event_id") % 300 + 200,
+        F.col("event_id") % 50000,
+    )
+    return ev.withColumn("line", line)
+
+
+def q_grok_roundtrip(spark, sf_dir):
+    ev = _event_logline(_t(spark, sf_dir, "events"))
+    ev = parse.grok(ev, match={"line": ["%{COMMONAPACHELOG}"]})
+    return ev.select(
+        "event_id",
+        "clientip",
+        "auth",
+        "request",
+        F.col("response").cast("int").alias("response"),
+        F.col("bytes").cast("long").alias("bytes"),
+    )
+
+
+def q_kv_roundtrip(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "kv", F.format_string("type=%s&uid=%d", F.col("event_type"), F.col("user_id"))
+    )
+    ev = parse.key_value(ev, source="kv", destination="m")
+    return ev.select(
+        "event_id",
+        F.col("m")["type"].alias("type_val"),
+        F.col("m")["uid"].cast("long").alias("uid_val"),
+    )
+
+
+def q_dissect_roundtrip(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "s",
+        F.format_string(
+            "%s|%s|%d", F.col("event_type"), F.date_format("ts", "yyyy-MM-dd"), F.col("user_id")
+        ),
+    )
+    ev = parse.dissect(ev, source="s", pattern="%{etype}|%{day}|%{uid}")
+    return ev.select("event_id", "etype", "day", F.col("uid").cast("long").alias("uid"))
+
+
+def q_date_roundtrip(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    ev = parse.date_parse(ev, "ts_str", ["yyyy-MM-dd HH:mm:ss"], destination="parsed_ts")
+    return ev.select("event_id", "parsed_ts")
+
+
+def _roundtrip_oracles() -> dict[str, str]:
+    return {
+        "grok_roundtrip": """
+            select event_id,
+                   printf('10.%d.%d.%d', user_id % 200, event_id % 256, (user_id * 7) % 254 + 1) as clientip,
+                   'user' || cast(user_id as varchar) as auth,
+                   '/api/' || event_type as request,
+                   cast(event_id % 300 + 200 as int) as response,
+                   event_id % 50000 as bytes
+            from events""",
+        "kv_roundtrip": """
+            select event_id, event_type as type_val, user_id as uid_val from events""",
+        "dissect_roundtrip": """
+            select event_id, event_type as etype, strftime(ts, '%Y-%m-%d') as day, user_id as uid
+            from events""",
+        "date_roundtrip": """
+            select event_id, date_trunc('second', ts) as parsed_ts from events""",
+    }
+
+
+# --------------------------------------------------------------------------
+# dedup / similarity / text analysis (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedupe.exact_dedupe(_t(spark, sf_dir, "documents"), "text", "doc_id").withColumnRenamed(
+        "doc_id", "keep_id"
+    )
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    pairs = dedupe.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5, shingle_n=1
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedupe.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_perm=16, bands=4, shingle_n=2
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedupe.simhash64(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.text_quality(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id").select(
+        "id", "fingerprint_md5"
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_metadata(multimodal.attach_binary(docs, "text", "doc_id"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    top = similarity.brute_force_topk(emb, "embedding", "vec_id", list(qvec), k=10)
+    return top.select(F.col("id").alias("vec_id"), F.round("sim", 4).alias("sim"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = list(emb.where("vec_id = 0").select("embedding").collect()[0][0])
+    bucketed = similarity.lsh_bucketed(emb, "embedding", "vec_id", dim=64, n_planes=6)
+    return similarity.lsh_topk(bucketed, qvec, dim=64, k=10, n_planes=6)
+
+
+def _textops_oracles() -> dict[str, str]:
+    toks = duckdb_tokens_sql("text")
+    stop_in = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+    langs = sorted(textstats.LANG_MARKERS.items())
+    cnt_cols = ", ".join(
+        "len(list_filter(toks, x -> x in ({}))) as c_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in langs
+    )
+    mx = "greatest({})".format(", ".join(f"c_{l}" for l, _ in langs))
+    pred_chain = " ".join(f"when c_{l} = mx then '{l}'" for l, _ in langs)
+    return {
+        "dedup_exact": """
+            select min(doc_id) as keep_id, count(*) as dup_count
+            from documents group by md5(text)""",
+        "dedup_jaccard_pairs": f"""
+            with sh as (select distinct doc_id as id, term as sh
+                        from (select doc_id, unnest({toks}) as term from documents)),
+            sizes as (select id, count(*) as sz from sh group by id),
+            common as (
+              select l.id as id_a, r.id as id_b, count(*) as c
+              from sh l join sh r on l.sh = r.sh and l.id < r.id
+              group by l.id, r.id)
+            select id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) as jaccard
+            from common join sizes sa on sa.id = id_a join sizes sb on sb.id = id_b
+            where c / (sa.sz + sb.sz - c) >= 0.5""",
+        "text_quality": f"""
+            with t as (select doc_id, text, {toks} as toks from documents)
+            select doc_id as id,
+                   cast(len(toks) as int) as n_tokens,
+                   cast(length(text) as int) as n_chars_raw,
+                   cast(len(regexp_extract_all(text, '\\S+')) as int) as n_ws_tokens,
+                   cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) as int) as n_subwords,
+                   round(case when len(toks) > 0
+                         then len(list_filter(toks, x -> x in ({stop_in}))) / len(toks)
+                         else 0.0 end, 6) as stopword_ratio,
+                   round(case when length(text) > 0
+                         then length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                         else 0.0 end, 6) as punct_ratio,
+                   round(case when len(toks) > 0
+                         then length(array_to_string(toks, '')) / len(toks)
+                         else 0.0 end, 6) as avg_token_len,
+                   len(toks) < 10 as is_short
+            from t""",
+        "lang_id": f"""
+            with t as (select doc_id, {toks} as toks from documents),
+            c as (select doc_id, {cnt_cols} from t),
+            m as (select doc_id, {mx} as mx, * from c)
+            select doc_id as id,
+                   case when mx = 0 then 'unknown' {pred_chain} end as pred_lang,
+                   cast(mx as int) as marker_hits
+            from m""",
+        "fingerprint_md5": f"""
+            select doc_id as id, md5(array_to_string({toks}, ' ')) as fingerprint_md5
+            from documents""",
+        "multimodal_meta": """
+            select doc_id as id, cast(octet_length(encode(text)) as bigint) as n_bytes,
+                   md5(text) as md5, 'image' as modality
+            from documents""",
+        "ann_cosine_topk": """
+            with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0)
+            select vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) as sim
+            from embeddings cross join q
+            order by list_cosine_similarity(embedding::DOUBLE[], qv) desc, vec_id asc
+            limit 10""",
+    }
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ft_doc_stats": q_ft_doc_stats,
+        "ft_dictionary": q_ft_dictionary,
+        "ft_corpus_stats": q_ft_corpus_stats,
+        "ft_postings": q_ft_postings,
+        "ft_bm25_topk": q_ft_bm25_topk,
+        "ft_bm25_topk2": q_ft_bm25_topk2,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_top_revenue": q_q3_top_revenue,
+        "q6_revenue": q_q6_revenue,
+        "events_parse_json": q_events_parse_json,
+        "events_windowed_count": q_events_windowed_count,
+        "events_histogram": q_events_histogram,
+        "events_remove_duplicates": q_events_remove_duplicates,
+        "events_route_counts": q_events_route_counts,
+        "events_mutate_chain": q_events_mutate_chain,
+        "translate_tiers": q_translate_tiers,
+        "grok_roundtrip": q_grok_roundtrip,
+        "kv_roundtrip": q_kv_roundtrip,
+        "dissect_roundtrip": q_dissect_roundtrip,
+        "date_roundtrip": q_date_roundtrip,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint_md5": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_ft_oracles())
+    out.update(_tpch_oracles())
+    out.update(_events_oracles())
+    out.update(_roundtrip_oracles())
+    out.update(_textops_oracles())
+    # minhash_lsh_pairs / simhash / ann_lsh_topk: engine-hash-dependent
+    # (xxhash64 / signed projections) — driver records rows-only checks.
+    return out

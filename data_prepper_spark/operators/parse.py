@@ -1,0 +1,263 @@
+"""Parse processors: grok, key_value, csv, parse_json, dissect, date.
+
+Reference semantics (paths under /root/reference/data-prepper-plugins/):
+- grok        grok-processor/.../GrokProcessor.java:59,120-136,232,264-295
+- key_value   key-value-processor/.../KeyValueProcessor.java:38-59,232-238
+- csv         csv-processor/.../CsvProcessor.java:35,53,113-115
+- parse_json  parse-json-processor/.../ParseJsonProcessor.java:34,63-85
+- dissect     dissect-processor/.../DissectProcessor.java:31-48,55
+- date        date-processor/.../DateProcessor.java:31,61
+
+All are expressed as Catalyst expressions (regexp_extract / str_to_map /
+from_csv / from_json / to_timestamp) — JVM-side, codegen'd, no Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- grok ----
+# A from-scratch grok engine: %{PATTERN:field} expands recursively to a Java
+# regex with named groups; one regexp_extract per capture (the plan shares
+# the scan, and Spark's regex engine caches compiled patterns per task).
+# Base patterns follow the public logstash pattern vocabulary used by the
+# reference's pipelines (docs/latest_performance_test_results.md uses
+# %{COMMONAPACHELOG}).
+
+GROK_BASE = {
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "NUMBER": r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?))",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r"(?:\"(?:[^\"\\]|\\.)*\")",
+    "IP": r"(?:[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})",
+    "IPORHOST": r"(?:[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}|[a-zA-Z0-9._-]+)",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\b",
+    "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "TIME": r"(?:\d{2}:\d{2}:\d{2})",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|SEVERE|FATAL)",
+    "COMMONAPACHELOG": (
+        r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] '
+        r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+    ),
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?\}")
+
+
+def grok_expand(pattern: str, definitions: dict[str, str] | None = None) -> tuple[str, list[str]]:
+    """Expand a grok pattern to (java_regex, captured_field_names)."""
+    defs = {**GROK_BASE, **(definitions or {})}
+    fields: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        name, field = m.group(1), m.group(2)
+        if name not in defs:
+            raise KeyError(f"unknown grok pattern %{{{name}}}")
+        if field:
+            # reserve the outer group's index BEFORE expanding nested refs:
+            # capture-group numbering follows opening-paren order
+            fields.append(field)
+            inner = _GROK_REF.sub(sub, defs[name])
+            return f"({inner})"
+        inner = _GROK_REF.sub(sub, defs[name])
+        return f"(?:{inner})"
+
+    regex = _GROK_REF.sub(sub, pattern)
+    return regex, fields
+
+
+def grok(
+    df: DataFrame,
+    match: dict[str, list[str]],
+    pattern_definitions: dict[str, str] | None = None,
+    target_key: str | None = None,
+    keep_empty_captures: bool = False,
+    tags_on_match_failure: list[str] | None = None,
+    when: str | None = None,
+) -> DataFrame:
+    """Named-capture extraction (GrokProcessor). First matching pattern per
+    source wins (break_on_match=true, the reference default).
+
+    Captures merge into the row as new columns (or under ``target_key`` as a
+    struct). Failed matches get ``tags_on_match_failure`` appended to a
+    ``tags`` array column, mirroring event-tagging semantics.
+    """
+    gate = F.expr(when) if when else F.lit(True)
+    for source, patterns in match.items():
+        # break_on_match: coalesce over per-pattern extraction chains
+        alts = [grok_expand(p, pattern_definitions) for p in patterns]
+        matched = F.lit(False)
+        cols: dict[str, Column] = {}
+        for rx, flds in alts:
+            m = F.col(source).rlike(rx)
+            for i, fld in enumerate(flds):
+                ext = F.regexp_extract(F.col(source), rx, i + 1)
+                prev = cols.get(fld)
+                cur = F.when(m & ~matched, ext)
+                cols[fld] = F.coalesce(prev, cur) if prev is not None else cur
+            matched = matched | m
+        if not keep_empty_captures:
+            cols = {k: F.when(v != "", v) for k, v in cols.items()}
+        if target_key:
+            df = df.withColumn(
+                target_key,
+                F.when(gate, F.struct(*[v.alias(k) for k, v in cols.items()])),
+            )
+        else:
+            for k, v in cols.items():
+                df = df.withColumn(k, F.when(gate, v))
+        if tags_on_match_failure:
+            tags = F.col("tags") if "tags" in df.columns else F.array().cast("array<string>")
+            df = df.withColumn(
+                "tags",
+                F.when(gate & ~matched, F.concat(tags, F.array(*[F.lit(t) for t in tags_on_match_failure]))).otherwise(tags),
+            )
+    return df
+
+
+# ----------------------------------------------------------- key_value ----
+def key_value(
+    df: DataFrame,
+    source: str,
+    destination: str = "parsed_message",
+    field_split_characters: str = "&",
+    value_split_characters: str = "=",
+    transform_key: str | None = None,
+    include_keys: list[str] | None = None,
+    when: str | None = None,
+) -> DataFrame:
+    """String field -> map<string,string> (KeyValueProcessor)."""
+    m = F.str_to_map(
+        F.col(source), F.lit(re.escape(field_split_characters)), F.lit(re.escape(value_split_characters))
+    )
+    if transform_key == "lowercase":
+        m = F.transform_keys(m, lambda k, _: F.lower(k))
+    elif transform_key == "uppercase":
+        m = F.transform_keys(m, lambda k, _: F.upper(k))
+    if include_keys:
+        inc = F.array(*[F.lit(k) for k in include_keys])
+        m = F.map_filter(m, lambda k, _: F.array_contains(inc, k))
+    out = F.when(F.expr(when), m) if when else m
+    return df.withColumn(destination, out)
+
+
+# ----------------------------------------------------------------- csv ----
+def csv_parse(
+    df: DataFrame,
+    source: str,
+    column_names: list[str],
+    delimiter: str = ",",
+    quote_character: str = '"',
+    when: str | None = None,
+) -> DataFrame:
+    """CSV string field -> named columns (CsvProcessor)."""
+    schema = ", ".join(f"`{c}` string" for c in column_names)
+    parsed = F.from_csv(
+        F.col(source), schema, {"sep": delimiter, "quote": quote_character}
+    )
+    gate = F.expr(when) if when else F.lit(True)
+    for c in column_names:
+        df = df.withColumn(c, F.when(gate, parsed[c]))
+    return df
+
+
+# ---------------------------------------------------------- parse_json ----
+def parse_json(
+    df: DataFrame,
+    source: str = "message",
+    schema: str | None = None,
+    destination: str | None = None,
+    pointer: str | None = None,
+    when: str | None = None,
+) -> DataFrame:
+    """JSON string field -> columns (ParseJsonProcessor).
+
+    With ``schema`` uses from_json (vectorized, pushdown-friendly); without,
+    falls back to get_json_object per pointer. ``pointer`` subselects a
+    JSON-pointer path like the reference (ParseJsonProcessor.java:63-85).
+    """
+    if pointer is not None:
+        path = "$" + pointer.replace("/", ".")
+        col = F.get_json_object(F.col(source), path)
+        return df.withColumn(destination or pointer.strip("/").replace("/", "_"), col)
+    assert schema is not None, "schema required when no pointer given"
+    parsed = F.from_json(F.col(source), schema)
+    if when:
+        parsed = F.when(F.expr(when), parsed)
+    if destination:
+        return df.withColumn(destination, parsed)
+    tmp = df.withColumn("__parsed", parsed)
+    for fld in tmp.select("__parsed.*").columns:
+        tmp = tmp.withColumn(fld, F.col("__parsed")[fld])
+    return tmp.drop("__parsed")
+
+
+# -------------------------------------------------------------- dissect ----
+_DISSECT_FIELD = re.compile(r"%\{([^}]*)\}")
+
+
+def dissect(df: DataFrame, source: str, pattern: str, when: str | None = None) -> DataFrame:
+    """Logstash-style dissect: literal delimiters between %{field} refs.
+
+    Supports skip fields (%{} / %{?name}) and append (%{+name}) with the
+    default separator, mirroring DissectProcessor.java:31-48.
+    """
+    parts = _DISSECT_FIELD.split(pattern)
+    # parts alternates: [lit0, f1, lit1, f2, lit2, ...]
+    regex = re.escape(parts[0])
+    fields: list[str] = []
+    appends: dict[str, list[int]] = {}
+    gi = 0
+    for i in range(1, len(parts), 2):
+        fld, lit = parts[i], re.escape(parts[i + 1])
+        gi += 1
+        if fld == "" or fld.startswith("?"):
+            regex += r"(?:.*?)" if lit else r"(?:.*)"
+            gi -= 1
+        else:
+            greedy = ".*" if i + 2 >= len(parts) and not lit else ".*?"
+            regex += f"({greedy})"
+            name = fld.lstrip("+")
+            appends.setdefault(name, []).append(gi)
+        regex += lit
+    gate = F.expr(when) if when else F.lit(True)
+    for name, groups in appends.items():
+        cols = [F.regexp_extract(F.col(source), regex, g) for g in groups]
+        val = cols[0] if len(cols) == 1 else F.concat_ws(" ", *cols)
+        df = df.withColumn(name, F.when(gate, val))
+    return df
+
+
+# ----------------------------------------------------------------- date ----
+def date_parse(
+    df: DataFrame,
+    match_key: str,
+    patterns: list[str],
+    destination: str = "@timestamp",
+    source_timezone: str | None = None,
+    when: str | None = None,
+) -> DataFrame:
+    """First-successful-format timestamp parse (DateProcessor):
+    coalesce(try to_timestamp per format) — same "first format that parses
+    wins" semantics, fully vectorized."""
+    attempts = [F.try_to_timestamp(F.col(match_key), F.lit(p)) for p in patterns]
+    col = F.coalesce(*attempts) if len(attempts) > 1 else attempts[0]
+    if source_timezone:
+        col = F.to_utc_timestamp(col, source_timezone)
+    if when:
+        col = F.when(F.expr(when), col)
+    return df.withColumn(destination, col)

@@ -1,0 +1,62 @@
+"""Ad-hoc BM25 over any (id, text) DataFrame — no persisted index.
+
+One shot: tokenize -> postings (partial-agg groupBy) -> broadcast per-term
+idf -> score -> top-k. Used by the driver-contract queries over the
+``documents`` table and by ``entry()``. The persisted-index paths
+(query/bm25.py, query/wand.py) are the scale path; this is the "query a
+table I haven't indexed yet" path, still fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..analyzer import tokenize_py, tokens_col
+from .common import B, K1
+
+
+def bm25_topk_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text: str,
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Returns (rank int, doc_id long, score double)."""
+    spark = df.sparkSession
+    terms = sorted(set(tokenize_py(query_text)))
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokens_col(text_col).alias("toks")
+    )
+    base = base.withColumn("dl", F.size("toks"))
+    stats = base.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n, avgdl = int(stats["n"]), float(stats["avgdl"])
+    if not terms or n == 0:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    posts = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tdf = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = posts.join(F.broadcast(tdf.withColumn("idf", idf)), "term").select(
+        "doc_id",
+        (
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl))
+        ).alias("s"),
+    )
+    topk = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return topk.select(w.alias("rank"), "doc_id", "score")

@@ -1,0 +1,77 @@
+"""Sources & codecs (SURVEY §2.1–2.2) as spark.read wrappers.
+
+The reference's source plugins pair a transport (s3/http/kafka/file) with
+an InputCodec (json/ndjson/csv/parquet/avro) and a decompression engine.
+Spark folds all three into the DataFrameReader: transport = path scheme
+(s3a://, file://), codec = format, decompression = automatic. The scan-
+partitioning the s3 source implements by hand
+(s3-source/.../S3ScanPartitionCreationSupplier.java:57-108) is Spark's
+FileScan partitioning; S3-Select pushdown ≈ Catalyst predicate/column
+pushdown into parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    codec: str = "parquet",
+    schema: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """codec: parquet | json (array or object-per-file) | ndjson | csv |
+    newline (plain text lines) | avro. Compression (gz/snappy) is detected
+    from file extensions by Spark."""
+    opts = dict(options or {})
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    if codec == "parquet":
+        return r.options(**opts).parquet(path)
+    if codec == "json":
+        return r.options(multiLine=True, **opts).json(path)
+    if codec == "ndjson":
+        return r.options(**opts).json(path)
+    if codec == "csv":
+        return r.options(header=opts.pop("header", "true"), **opts).csv(path)
+    if codec == "newline":
+        df = r.options(**opts).text(path)
+        # reference NewlineDelimitedInputCodec wraps each line as {message}
+        return df.withColumnRenamed("value", "message")
+    if codec == "avro":
+        return r.format("avro").options(**opts).load(path)
+    raise ValueError(f"unknown codec: {codec}")
+
+
+def log_generator(spark: SparkSession, n: int, parallelism: int | None = None) -> DataFrame:
+    """Deterministic Apache common-log faker (log-generator-source's
+    ApacheLogFaker analog; shape from docs/latest_performance_test_results.md:51-55).
+    Pure function of the row id — same determinism contract as corpus.py."""
+    from pyspark.sql import functions as F
+
+    parts = parallelism or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n, 1, parts)
+    ip = F.concat_ws(
+        ".",
+        (F.abs(F.xxhash64("id")) % 223 + 1).cast("string"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % 256).cast("string"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % 256).cast("string"),
+        (F.abs(F.xxhash64("id", F.lit(3))) % 254 + 1).cast("string"),
+    )
+    user = F.concat(F.lit("user"), (F.col("id") % 97).cast("string"))
+    verb = F.element_at(F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT"), F.lit("DELETE")), (F.col("id") % 4 + 1).cast("int"))
+    path = F.concat(F.lit("/api/v"), (F.col("id") % 3 + 1).cast("string"), F.lit("/resource/"), (F.col("id") % 1000).cast("string"))
+    status = F.element_at(F.array(F.lit(200), F.lit(200), F.lit(200), F.lit(404), F.lit(500)), (F.col("id") % 5 + 1).cast("int"))
+    size = F.abs(F.xxhash64("id", F.lit(4))) % 50000
+    ts = F.date_format(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 86400),
+        "dd/MMM/yyyy:HH:mm:ss Z",
+    )
+    log = F.concat(
+        ip, F.lit(" - "), user, F.lit(" ["), ts, F.lit('] "'), verb, F.lit(" "),
+        path, F.lit(' HTTP/1.0" '), status.cast("string"), F.lit(" "), size.cast("string"),
+    )
+    return base.select(F.col("id").alias("event_id"), log.alias("log"))
