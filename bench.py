@@ -3,13 +3,15 @@
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": <total wall sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "query_p50_ms": ..., "query_p95_ms": ...}
 
-Headline set: the fulltext index build + WAND/BM25 query path over the
-documents table (the north-star workload) plus representative relational /
-dedup / similarity queries. The index build throughput (docs/s) is reported
-alongside; scripts/scaling_bench.py produces the two-parallelism scaling
-evidence for BENCH/BASELINE.md.
+Headline set: the resumable fulltext index build (index/build.py, ledger +
+varint block compression) + block-max WAND/BM25 warm-path query latency
+(query/engine.py) over the documents table — the north-star workload —
+plus representative relational / parse / dedup / similarity queries.
+scripts/scaling_bench.py produces the two-parallelism scaling evidence
+for BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -44,16 +46,25 @@ HEADLINE = [
     "lang_id",
 ]
 
+WAND_QUERIES = [
+    "key value table scan",
+    "merge batch partition checkpoint",
+    "index compaction strategy",
+    "async worker pool thread",
+    "row group filter pushdown",
+]
+
 
 def main() -> None:
     spark = get_spark("dps-bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # ---- fulltext index build throughput over the documents corpus
+    # ---- fulltext index build throughput (resumable ledger path)
     from pyspark.sql import functions as F
 
-    from data_prepper_spark.index.build import blocks_from_postings, docs_df, postings_from_docs
+    from data_prepper_spark.index.build import build_index
+    from data_prepper_spark.query.engine import IndexQueryEngine
 
     docs_src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         F.col("source").alias("repo"),
@@ -63,25 +74,29 @@ def main() -> None:
         F.col("text").alias("content"),
     )
     n_docs = docs_src.count()
+    src_dir = ".bench_cache/code_files"
     out = ".bench_cache/index"
+    shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
+    docs_src.repartition(8).write.parquet(src_dir)
     t0 = time.time()
-    base = docs_df(docs_src)
-    posts = postings_from_docs(base, n_shards=32)
-    base.drop("tokens").write.mode("overwrite").parquet(f"{out}/docs")
-    posts.repartition("shard").sortWithinPartitions("term", "doc_id").write.mode(
-        "overwrite"
-    ).partitionBy("shard").parquet(f"{out}/postings")
-    stats = spark.read.parquet(f"{out}/docs").agg(
-        F.count(F.lit(1)), F.avg("doc_len")
-    ).collect()[0]
-    avgdl = float(stats[1])
-    postings = spark.read.parquet(f"{out}/postings")
-    blocks_from_postings(postings, avgdl).write.mode("overwrite").partitionBy(
-        "shard"
-    ).parquet(f"{out}/posting_blocks")
+    build_index(spark, src_dir, out, n_shards=32, units=1, shard_groups=1)
     build_sec = time.time() - t0
     timings["ft_index_build"] = round(build_sec, 3)
+
+    # ---- warm-path WAND query latency over the built index
+    engine = IndexQueryEngine(spark, out)
+    lat: list[float] = []
+    for i in range(3 * len(WAND_QUERIES)):
+        q = WAND_QUERIES[i % len(WAND_QUERIES)]
+        t0 = time.time()
+        engine.topk(q, 10).collect()
+        lat.append(time.time() - t0)
+    warm = sorted(lat[len(WAND_QUERIES) :])  # first sweep warms cache/workers
+    p50 = warm[len(warm) // 2]
+    p95 = warm[min(len(warm) - 1, int(round(0.95 * (len(warm) - 1))))]
+    timings["ft_wand_query_avg"] = round(sum(warm) / len(warm), 3)
+    engine.close()
 
     # ---- headline queries
     for name in HEADLINE:
@@ -100,6 +115,8 @@ def main() -> None:
                 "sf": SF_DIR,
                 "docs_per_sec": round(n_docs / build_sec, 1),
                 "n_docs_indexed": n_docs,
+                "query_p50_ms": round(p50 * 1000, 1),
+                "query_p95_ms": round(p95 * 1000, 1),
             }
         )
     )

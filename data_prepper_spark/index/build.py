@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 
 from ..analyzer import tokens_col
 from ..tableio import TableIO
-from .varint import encode_doc_ids, encode_varints
+from ..util import spread
+from .varint import encode_varints_segmented
 
 K1 = 1.2
 B = 0.75
@@ -69,7 +70,7 @@ def shard_col(doc_id, n_shards: int) -> F.Column:
 
 def docs_df(source: DataFrame) -> DataFrame:
     """docs table + in-flight token array (single scan feeds both outputs)."""
-    return source.select(
+    return spread(source).select(
         doc_id_col().alias("doc_id"),
         "repo",
         "path",
@@ -95,47 +96,68 @@ def postings_from_docs(with_tokens: DataFrame, n_shards: int) -> DataFrame:
     )
 
 
-def _block_builder(avgdl: float, block_size: int) -> Callable:
+def _shard_block_builder(avgdl: float, block_size: int) -> Callable:
+    """Vectorized whole-shard block encoder.
+
+    One pandas frame per *shard* (not per term): sort by (term, doc_id),
+    find term-run and block boundaries with numpy, `maximum.reduceat` the
+    block maxima, and varint-encode gaps/tfs/dls for ALL blocks in three
+    vectorized passes (`encode_varints_segmented`), slicing per-block
+    buffers by precomputed byte offsets. Replaces a per-(term,shard)
+    applyInPandas that built ~1 pandas frame per term — two orders of
+    magnitude fewer Python/pandas round-trips. Group memory = one shard's
+    postings; ``n_shards`` is the knob that bounds it at design scale.
+    """
+
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
         shard = int(pdf["shard"].iloc[0])
-        p = pdf.sort_values("doc_id")
+        p = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = p["term"].to_numpy()
         doc_ids = p["doc_id"].to_numpy(np.int64)
         tfs = p["tf"].to_numpy(np.int64)
         dls = p["doc_len"].to_numpy(np.int64)
+        n = len(p)
+        new_term = np.empty(n, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = terms[1:] != terms[:-1]
+        run_id = np.cumsum(new_term) - 1
+        run_start = np.flatnonzero(new_term)
+        pos_in_run = np.arange(n) - run_start[run_id]
+        new_block = new_term | (pos_in_run % block_size == 0)
+        block_start = np.flatnonzero(new_block)
+        block_end = np.concatenate((block_start[1:], [n]))
+        counts = (block_end - block_start).astype(np.int64)
         wtf = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / avgdl))
-        rows = []
-        for bi, s in enumerate(range(0, len(doc_ids), block_size)):
-            e = min(s + block_size, len(doc_ids))
-            first, gaps = encode_doc_ids(doc_ids[s:e])
-            rows.append(
-                (
-                    term,
-                    shard,
-                    bi,
-                    first,
-                    e - s,
-                    gaps,
-                    encode_varints(tfs[s:e].astype(np.uint64)),
-                    encode_varints(dls[s:e].astype(np.uint64)),
-                    int(tfs[s:e].max()),
-                    float(wtf[s:e].max()),
-                )
-            )
+        b_max_tf = np.maximum.reduceat(tfs, block_start)
+        b_max_wtf = np.maximum.reduceat(wtf, block_start)
+        # delta gaps: doc_id minus predecessor, masked out at block starts
+        gaps_all = np.empty(n, dtype=np.uint64)
+        gaps_all[0] = 0
+        gaps_all[1:] = doc_ids[1:].astype(np.uint64) - doc_ids[:-1].astype(np.uint64)
+        gap_bufs = encode_varints_segmented(gaps_all[~new_block], counts - 1)
+        tf_bufs = encode_varints_segmented(tfs.astype(np.uint64), counts)
+        dl_bufs = encode_varints_segmented(dls.astype(np.uint64), counts)
         return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "shard", "block_id", "first_doc_id", "n_docs",
-                "doc_gaps", "tfs", "dls", "block_max_tf", "block_max_wtf",
-            ],
+            {
+                "term": terms[block_start],
+                "shard": shard,
+                "block_id": (pos_in_run[block_start] // block_size).astype(np.int32),
+                "first_doc_id": doc_ids[block_start],
+                "n_docs": counts.astype(np.int32),
+                "doc_gaps": gap_bufs,
+                "tfs": tf_bufs,
+                "dls": dl_bufs,
+                "block_max_tf": b_max_tf.astype(np.int32),
+                "block_max_wtf": b_max_wtf,
+            }
         )
 
     return build
 
 
 def blocks_from_postings(postings: DataFrame, avgdl: float, block_size: int = 128) -> DataFrame:
-    return postings.groupBy("term", "shard").applyInPandas(
-        _block_builder(avgdl, block_size), BLOCKS_SCHEMA
+    return postings.groupBy("shard").applyInPandas(
+        _shard_block_builder(avgdl, block_size), BLOCKS_SCHEMA
     )
 
 
@@ -199,21 +221,32 @@ def build_index(
     )
     units = max(1, min(units, len(files)))
     unit_files = [files[i::units] for i in range(units)]
+    from pyspark.sql import Observation
+    from pyspark.storagelevel import StorageLevel
+
     for u, fl in enumerate(unit_files):
         if ("A", u) in done:
             continue
         if fault_injector:
             fault_injector("A", u)
-        base = docs_df(spark.read.parquet(*fl))
+        # persist the tokenized unit so docs + postings share one tokenize
+        # pass; MEMORY_AND_DISK bounds executor memory at unit granularity
+        # (unit count is a build parameter sized so a unit fits the cluster)
+        base = docs_df(spark.read.parquet(*fl)).persist(StorageLevel.MEMORY_AND_DISK)
         posts = postings_from_docs(base, n_shards)
-        # per-unit dirs make the commit idempotent under overwrite
-        docs_out = base.drop("tokens")
+        # per-unit dirs make the commit idempotent under overwrite; counters
+        # ride the write jobs as Observation metrics — no extra count jobs
+        obs_docs, obs_posts = Observation(), Observation()
+        docs_out = base.drop("tokens").observe(obs_docs, F.count(F.lit(1)).alias("n"))
         docs_out.write.mode("overwrite").parquet(io.path(f"docs/unit={u}"))
-        posts.repartition("shard").sortWithinPartitions("term", "doc_id").write.mode(
-            "overwrite"
-        ).partitionBy("shard").parquet(io.path(f"postings/unit={u}"))
-        n_docs = spark.read.parquet(io.path(f"docs/unit={u}")).count()
-        n_posts = spark.read.parquet(io.path(f"postings/unit={u}")).count()
+        posts.observe(obs_posts, F.count(F.lit(1)).alias("n")).repartition(
+            "shard"
+        ).sortWithinPartitions("term", "doc_id").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(io.path(f"postings/unit={u}"))
+        base.unpersist()
+        n_docs = int(obs_docs.get["n"])
+        n_posts = int(obs_posts.get["n"])
         _ledger_append(io, spark, [("A", u, "done", n_docs, n_posts, 0, source_path, CODE_VERSION)])
 
     docs = spark.read.parquet(io.path("docs"))  # unit=* discovered as partition
@@ -237,10 +270,11 @@ def build_index(
             fault_injector("B", g)
         grp = postings.where(F.col("shard") % shard_groups == g)  # partition-pruned
         blocks = blocks_from_postings(grp, avgdl, block_size)
-        blocks.write.mode("overwrite").partitionBy("shard").parquet(
-            io.path(f"posting_blocks/group={g}")
-        )
-        n_blocks = spark.read.parquet(io.path(f"posting_blocks/group={g}")).count()
+        obs_blocks = Observation()
+        blocks.observe(obs_blocks, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(io.path(f"posting_blocks/group={g}"))
+        n_blocks = int(obs_blocks.get["n"])
         _ledger_append(io, spark, [("B", g, "done", 0, 0, n_blocks, source_path, CODE_VERSION)])
 
     # ---- dictionary: df/cf + per-term upper bound for WAND pruning

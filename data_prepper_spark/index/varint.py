@@ -18,11 +18,12 @@ _MASK7 = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def _encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array; returns (byte array, per-value byte
+    lengths). Vectorized: loops only over the max byte width (<=10)."""
     v = values.astype(np.uint64, copy=True)
     if v.size == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # bytes needed per value: ceil(bit_length/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -42,7 +43,30 @@ def encode_varints(values: np.ndarray) -> bytes:
         last = nbits[sel] == b + 1
         byte[~last] |= _CONT
         out[offsets[:-1][sel] + b] = byte
+    return out, nbits
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    out, _ = _encode_with_lengths(values)
     return out.tobytes()
+
+
+def encode_varints_segmented(values: np.ndarray, seg_lengths: np.ndarray) -> list[bytes]:
+    """Encode ``values`` once, then split the buffer into one ``bytes`` per
+    segment of ``seg_lengths`` consecutive values (sum == len(values)).
+
+    This is the whole-partition fast path of the block builder: a single
+    vectorized encode for *all* blocks of a shard, then O(n_blocks) cheap
+    buffer slices — no per-block numpy round-trips.
+    """
+    out, nbits = _encode_with_lengths(values)
+    buf = out.tobytes()
+    byte_bounds = np.concatenate(([0], np.cumsum(nbits)))
+    seg_bounds = np.concatenate(([0], np.cumsum(seg_lengths)))
+    starts = byte_bounds[seg_bounds[:-1]]
+    ends = byte_bounds[seg_bounds[1:]]
+    return [buf[int(s) : int(e)] for s, e in zip(starts, ends)]
 
 
 def decode_varints(buf: bytes, count: int) -> np.ndarray:

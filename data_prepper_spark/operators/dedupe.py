@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..analyzer import tokens_col
+from ..util import spread
 
 # 31-bit Mersenne prime: shingle hashes are first reduced mod p, so
 # (a*h + b) stays < 2^52 — no int64 overflow under Spark 4 ANSI mode
@@ -40,15 +41,21 @@ def exact_dedupe(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, content_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingle hashes per doc: (id, shingle_hash)."""
-    toks = tokens_col(content_col)
+    """Distinct word n-gram shingle hashes per doc: (id, shingle_hash).
+
+    Tokenization is materialized in its own projection below the Generate:
+    referencing ``toks`` as an attribute keeps the (expensive) analyzer
+    expression evaluated once per row instead of once per shingle position
+    inside the ``transform`` lambda (CollapseProject leaves multi-referenced
+    non-cheap aliases alone).
+    """
+    toked = spread(df.select(F.col(id_col).alias("id"), tokens_col(content_col).alias("toks")))
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.xxhash64(F.concat_ws("", F.slice(toks, i + 1, n))),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("sh"))
-    )
+    return toked.select("id", F.explode(F.array_distinct(grams)).alias("sh"))
 
 
 def minhash_signatures(
@@ -138,7 +145,8 @@ def jaccard_pairs(
 def simhash64(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over token hashes weighted by tf: (id, simhash)."""
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens_col(content_col)).alias("t"))
+        spread(df.select(F.col(id_col).alias("id"), tokens_col(content_col).alias("__toks")))
+        .select("id", F.explode("__toks").alias("t"))
         .groupBy("id", "t")
         .agg(F.count(F.lit(1)).alias("w"))
         .withColumn("h", F.xxhash64("t"))

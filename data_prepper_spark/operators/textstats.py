@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..analyzer import tokens_col
+from ..util import spread
 
 EN_STOPWORDS = [
     "the", "a", "of", "and", "to", "in", "is", "for", "with", "this",
@@ -36,14 +37,29 @@ def _count_in(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+def _toked(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Materialize the analyzed token array once per row in its own
+    projection; downstream refs are attribute reads, so the (expensive)
+    analyzer expression is not re-inlined per reference (CollapseProject
+    leaves multi-referenced non-cheap aliases alone)."""
+    return spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(content_col).alias("__content"),
+            tokens_col(content_col).alias("__toks"),
+        )
+    )
+
+
 def text_quality(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Per-doc quality features: token counts, length stats, stopword and
     punctuation ratios, BPE-ish subword count."""
-    toks = tokens_col(content_col)
-    c = F.col(content_col)
+    base = _toked(df, content_col, id_col)
+    toks = F.col("__toks")
+    c = F.col("__content")
     n_tok = F.size(toks)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        F.col("id"),
         n_tok.alias("n_tokens"),
         F.length(c).alias("n_chars_raw"),
         F.size(F.split(c, r"\s+")).alias("n_ws_tokens"),
@@ -69,7 +85,8 @@ def text_quality(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 def lang_id(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Marker-word language ID: argmax of per-language marker hit counts,
     ties broken by language name ascending; 'unknown' when zero hits."""
-    toks = tokens_col(content_col)
+    base = _toked(df, content_col, id_col)
+    toks = F.col("__toks")
     scores = F.array(
         *[
             F.struct(
@@ -79,8 +96,8 @@ def lang_id(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         ]
     )
     best = F.array_min(scores)
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        F.col("id"),
         F.when(best["neg_hits"] < 0, best["lang"]).otherwise("unknown").alias("pred_lang"),
         (-best["neg_hits"]).alias("marker_hits"),
     )
@@ -89,7 +106,8 @@ def lang_id(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 def fingerprint(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Deterministic document fingerprints: md5 of the analyzed token
     stream (content-normalized identity) + a 64-bit rolling hash."""
-    toks = tokens_col(content_col)
+    base = _toked(df, content_col, id_col)
+    toks = F.col("__toks")
     norm = F.concat_ws(" ", toks)
     # rolling polynomial hash mod 2^31-1: operands stay < 2^40 so the
     # arithmetic never overflows long (Spark 4 ANSI mode throws on overflow)
@@ -99,8 +117,8 @@ def fingerprint(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * F.lit(131).cast("long") + F.pmod(F.xxhash64(t), p31), p31),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        F.col("id"),
         F.md5(norm).alias("fingerprint_md5"),
         rolling.alias("fingerprint_roll"),
     )

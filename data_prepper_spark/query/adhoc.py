@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..analyzer import tokenize_py, tokens_col
+from ..util import spread
 from .common import B, K1
 
 
@@ -31,7 +32,7 @@ def bm25_topk_adhoc(
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"), tokens_col(text_col).alias("toks")
     )
-    base = base.withColumn("dl", F.size("toks"))
+    base = spread(base).withColumn("dl", F.size("toks"))
     stats = base.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     n, avgdl = int(stats["n"]), float(stats["avgdl"])
     if not terms or n == 0:

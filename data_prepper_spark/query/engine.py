@@ -1,0 +1,120 @@
+"""Persistent query engine over a built index: the "search service" path.
+
+``bm25_topk_wand`` (query/wand.py) is the one-shot path — every call pays
+stats lookup + a cold scan. A real search deployment keeps the index hot:
+this engine loads ``corpus_stats`` once, keeps a driver-side LRU of
+dictionary rows for seen terms, and (optionally) persists the
+``posting_blocks`` DataFrame so repeat queries scan executor memory
+instead of parquet. That mirrors how the reference's delegate (OpenSearch/
+Lucene) serves queries from page-cached segment files, and is the
+configuration the p50/p95 latency numbers in BENCH are measured on.
+
+At design scale the blocks table exceeds cluster RAM; ``persist_blocks``
+uses MEMORY_AND_DISK so hot terms stay resident and cold ones spill —
+the same economics as Lucene's page cache.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..analyzer import tokenize_py
+from ..tableio import TableIO
+from .common import idf as _idf
+from .wand import _wand_shard
+
+
+class IndexQueryEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        persist_blocks: bool = True,
+        shard_partitions: int = 8,
+    ):
+        self.spark = spark
+        self.io = TableIO(index_dir)
+        self.shard_partitions = shard_partitions
+        r = self.io.read(spark, "corpus_stats").collect()[0]
+        self.n_docs = int(r["n_docs"])
+        self.avgdl = float(r["avgdl"])
+        self._dict_cache: dict[str, dict | None] = {}
+        self.blocks = self.io.read(spark, "posting_blocks")
+        self._prepartitioned = persist_blocks
+        if persist_blocks:
+            # persist already hash-partitioned by shard: the per-query plan
+            # is then filter -> mapInPandas over cached partitions with NO
+            # exchange (a partition holds only complete shards, so every
+            # (shard, term) group is intact under any term filter). The
+            # in-memory columnar cache prunes batches by term min/max, the
+            # RAM analog of parquet row-group pruning.
+            self.blocks = self.blocks.repartition(shard_partitions, "shard").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+
+    def _term_stats(self, terms: list[str]) -> dict[str, dict]:
+        missing = [t for t in terms if t not in self._dict_cache]
+        if missing:
+            rows = (
+                self.io.read(self.spark, "dictionary")
+                .where(F.col("term").isin(missing))
+                .select("term", "df", "max_wtf")
+                .collect()
+            )
+            found = {r["term"] for r in rows}
+            for r in rows:
+                self._dict_cache[r["term"]] = {
+                    "df": int(r["df"]),
+                    "idf": _idf(self.n_docs, int(r["df"])),
+                    "max_wtf": float(r["max_wtf"]) if r["max_wtf"] is not None else 0.0,
+                }
+            for t in missing:
+                if t not in found:
+                    self._dict_cache[t] = None
+        return {t: s for t in terms if (s := self._dict_cache.get(t)) is not None}
+
+    def topk(self, query_text: str, k: int = 10) -> DataFrame:
+        """(rank int, doc_id long, score double) — block-max WAND per shard,
+        TakeOrderedAndProject merge. One Spark job on the warm path."""
+        terms = sorted(set(tokenize_py(query_text)))
+        tstats = self._term_stats(terms)
+        empty = "rank int, doc_id long, score double"
+        if not tstats:
+            return self.spark.createDataFrame([], empty)
+        avgdl, n = self.avgdl, k
+
+        import pandas as pd
+
+        def per_shard(pdfs):
+            buf: dict[int, list[pd.DataFrame]] = {}
+            for pdf in pdfs:
+                for s, grp in pdf.groupby("shard"):
+                    buf.setdefault(int(s), []).append(grp)
+            rows = []
+            for s, parts in buf.items():
+                rows.extend(_wand_shard(pd.concat(parts), tstats, avgdl, n))
+            yield (
+                pd.DataFrame(rows, columns=["doc_id", "score"])
+                if rows
+                else pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+                )
+            )
+
+        filtered = self.blocks.where(F.col("term").isin(list(tstats)))
+        if not self._prepartitioned:
+            filtered = filtered.repartition(self.shard_partitions, "shard")
+        local = filtered.mapInPandas(per_shard, "doc_id long, score double")
+        topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from pyspark.sql.window import Window
+
+        w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        return topk.select(w.alias("rank"), "doc_id", "score")
+
+    def close(self) -> None:
+        try:
+            self.blocks.unpersist()
+        except Exception:
+            pass
