@@ -536,6 +536,236 @@ def _textops_oracles() -> dict[str, str]:
 
 
 # --------------------------------------------------------------------------
+# aggregate actions / traces / enrichment / anomaly (SURVEY §2.4, §2.9)
+# --------------------------------------------------------------------------
+
+
+def _ordered_events(spark, sf_dir):
+    return _t(spark, sf_dir, "events").withColumn("__ord", F.struct("ts", "event_id"))
+
+
+def q_agg_put_all(spark, sf_dir):
+    ev = _ordered_events(spark, sf_dir).select("user_id", "event_type", "event_id", "ts", "__ord")
+    out = agg_ops.put_all(ev, ["user_id"], "__ord")
+    return out.select("user_id", "event_type", "event_id", "ts")
+
+
+def q_agg_append(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("rv", F.round("value", 4))
+    return agg_ops.append(ev, ["user_id", "event_type"], ["rv"])
+
+
+def q_agg_percent_sampler(spark, sf_dir):
+    ev = _ordered_events(spark, sf_dir)
+    out = agg_ops.percent_sampler(ev, ["event_type"], 25.0, "__ord")
+    return out.select("event_id", "event_type")
+
+
+def q_agg_tail_sampler(spark, sf_dir):
+    ev = _ordered_events(spark, sf_dir)
+    out = agg_ops.tail_sampler(ev, ["user_id"], "event_type = 'error'", 0, "__ord")
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q_agg_rate_limiter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = agg_ops.rate_limiter(ev, ["event_type"], 1, "ts", tiebreakers=["event_id"])
+    return out.select("event_id", "event_type", "ts")
+
+
+def _spans(spark, sf_dir):
+    """Deterministic span table derived from events: traceId = user_id,
+    spanId = 'user-event', parent = same-trace span at floor(event_id/7)*7
+    (roots where event_id % 3 == 0), serviceName = event_type."""
+    ev = _t(spark, sf_dir, "events")
+    sid = F.format_string("%d-%d", F.col("user_id"), F.col("event_id"))
+    pid = F.when(
+        F.col("event_id") % 3 != 0,
+        F.format_string("%d-%d", F.col("user_id"), (F.floor(F.col("event_id") / 7) * 7).cast("long")),
+    )
+    return ev.select(
+        F.col("user_id").cast("string").alias("traceId"),
+        sid.alias("spanId"),
+        pid.alias("parentSpanId"),
+        F.col("event_type").alias("serviceName"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).alias("traceGroup"),
+        F.col("event_id"),
+    )
+
+
+def q_service_map_edges(spark, sf_dir):
+    from data_prepper_spark.operators.trace import service_map_edges
+
+    return service_map_edges(_spans(spark, sf_dir))
+
+
+def q_trace_group_fill(spark, sf_dir):
+    from data_prepper_spark.operators.trace import fill_trace_group
+
+    spans = _spans(spark, sf_dir)
+    # one root per trace: keep the smallest root event_id as THE root
+    roots = spans.where("parentSpanId is null").groupBy("traceId").agg(
+        F.min("event_id").alias("event_id")
+    )
+    one_root = spans.join(roots, ["traceId", "event_id"])
+    spans_one = spans.where("parentSpanId is not null").unionByName(one_root)
+    out = fill_trace_group(spans_one)
+    return out.select("spanId", "traceGroup")
+
+
+def q_obfuscate_redact(spark, sf_dir):
+    from data_prepper_spark.operators.enrich import obfuscate
+
+    ev = _t(spark, sf_dir, "events")
+    out = obfuscate(ev, "props", patterns=[r"[0-9]+"], mask="***", target="props_masked")
+    return out.select("event_id", "props_masked")
+
+
+def q_user_agent_parse(spark, sf_dir):
+    from data_prepper_spark.operators.enrich import user_agent
+
+    ev = _t(spark, sf_dir, "events")
+    ua = (
+        F.when(F.col("event_id") % 4 == 0,
+               F.format_string("Mozilla/5.0 (Windows NT 10.0) Chrome/%d.0", F.col("user_id") % 50 + 70))
+        .when(F.col("event_id") % 4 == 1,
+              F.format_string("Mozilla/5.0 (Macintosh; Mac OS X) Version/%d.1 Safari/605", F.col("user_id") % 10 + 10))
+        .when(F.col("event_id") % 4 == 2,
+              F.format_string("Mozilla/5.0 (X11; Linux x86_64) Firefox/%d.0", F.col("user_id") % 40 + 80))
+        .otherwise(F.format_string("curl/%d.%d", F.col("user_id") % 8, F.col("event_id") % 10))
+    )
+    out = user_agent(ev.withColumn("ua", ua), "ua")
+    return out.select(
+        "event_id",
+        F.col("user_agent.name").alias("browser"),
+        F.col("user_agent.version").alias("version"),
+        F.col("user_agent.os").alias("os"),
+        F.col("user_agent.device").alias("device"),
+    )
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    from data_prepper_spark.operators.anomaly import zscore_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = zscore_anomalies(ev, ["event_type"], "value", threshold=2.5)
+    return out.select("event_id", "event_type", F.round("deviation", 4).alias("deviation"))
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.format_string("%s,%d,%d", F.col("event_type"), F.col("user_id"), F.col("event_id")),
+    )
+    out = parse.csv_parse(ev, "line", ["etype", "uid", "eid"])
+    return out.select(
+        "event_id", "etype", F.col("uid").cast("long").alias("uid"), F.col("eid").cast("long").alias("eid")
+    )
+
+
+def q_mutate_event_ops(spark, sf_dir):
+    from data_prepper_spark.operators import mutate
+
+    ev = _t(spark, sf_dir, "events")
+    ev = mutate.copy_values(ev, [{"from_key": "event_type", "to_key": "etype_copy"}])
+    ev = mutate.rename_keys(ev, [{"from_key": "props", "to_key": "payload"}])
+    ev = mutate.convert_entry_type(ev, "user_id", "string")
+    ev = ev.withColumn(
+        "kvs",
+        F.array(
+            F.struct(F.lit("uid").alias("k"), F.col("user_id").alias("v")),
+            F.struct(F.lit("etype").alias("k"), F.col("etype_copy").alias("v")),
+        ),
+    )
+    ev = mutate.list_to_map(ev, "kvs", "kv_map", key_name="k", value_key="v")
+    ev = mutate.delete_entries(ev, ["kvs", "etype_copy", "ts", "value"])
+    return ev.select(
+        "event_id",
+        "payload",
+        F.col("kv_map")["uid"].alias("uid_val"),
+        F.col("kv_map")["etype"].alias("etype_val"),
+    )
+
+
+def _extra_oracles() -> dict[str, str]:
+    spans_sql = """
+        select cast(user_id as varchar) as traceId,
+               printf('%d-%d', user_id, event_id) as spanId,
+               case when event_id % 3 <> 0
+                    then printf('%d-%d', user_id, (event_id // 7) * 7) end as parentSpanId,
+               event_type as serviceName,
+               case when event_id % 3 = 0 then event_type end as traceGroup,
+               event_id
+        from events"""
+    return {
+        "agg_put_all": """
+            select user_id, event_type, event_id, ts from events
+            qualify row_number() over (partition by user_id order by ts desc, event_id desc) = 1""",
+        "agg_append": """
+            select user_id, event_type, list_sort(list(round(value, 4))) as rv
+            from events group by user_id, event_type""",
+        "agg_percent_sampler": """
+            with r as (select event_id, event_type,
+                              row_number() over (partition by event_type order by ts, event_id) as rn,
+                              count(*) over (partition by event_type) as n
+                       from events)
+            select event_id, event_type from r where rn <= ceil(n * 0.25)""",
+        "agg_tail_sampler": """
+            select event_id, user_id, event_type from events
+            where user_id in (select user_id from events where event_type = 'error')""",
+        "agg_rate_limiter": """
+            select event_id, event_type, ts from events
+            qualify row_number() over (partition by event_type, date_trunc('second', ts)
+                                       order by ts, event_id) = 1""",
+        "service_map_edges": f"""
+            with spans as ({spans_sql})
+            select distinct p.serviceName as source, c.serviceName as destination
+            from spans c join spans p on c.parentSpanId = p.spanId
+            where p.serviceName <> c.serviceName""",
+        "trace_group_fill": f"""
+            with spans as ({spans_sql}),
+            roots as (select * from spans where parentSpanId is null
+                      qualify row_number() over (partition by traceId order by event_id) = 1),
+            one as (select * from spans where parentSpanId is not null
+                    union all by name select * from roots)
+            select o.spanId, coalesce(o.traceGroup, r.traceGroup) as traceGroup
+            from one o left join roots r on o.traceId = r.traceId""",
+        "obfuscate_redact": """
+            select event_id, regexp_replace(props, '[0-9]+', '***', 'g') as props_masked
+            from events""",
+        "user_agent_parse": """
+            select event_id,
+                   case event_id % 4 when 0 then 'Chrome' when 1 then 'Safari'
+                        when 2 then 'Firefox' else 'curl' end as browser,
+                   case event_id % 4
+                        when 0 then cast(user_id % 50 + 70 as varchar) || '.0'
+                        when 1 then cast(user_id % 10 + 10 as varchar) || '.1'
+                        when 2 then cast(user_id % 40 + 80 as varchar) || '.0'
+                        else cast(user_id % 8 as varchar) || '.' || cast(event_id % 10 as varchar)
+                   end as version,
+                   case event_id % 4 when 0 then 'Windows' when 1 then 'Mac OS X'
+                        when 2 then 'Linux' else 'Other' end as os,
+                   'Other' as device
+            from events""",
+        "anomaly_zscore": """
+            with s as (select event_type, avg(value) as mu,
+                              stddev_pop(value) as sigma
+                       from events group by event_type)
+            select event_id, e.event_type,
+                   round((value - mu) / sigma, 4) as deviation
+            from events e join s on e.event_type = s.event_type
+            where sigma > 0 and abs((value - mu) / sigma) > 2.5""",
+        "csv_roundtrip": """
+            select event_id, event_type as etype, user_id as uid, event_id as eid
+            from events""",
+        "mutate_event_ops": """
+            select event_id, props as payload,
+                   cast(user_id as varchar) as uid_val, event_type as etype_val
+            from events""",
+    }
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -572,6 +802,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "agg_put_all": q_agg_put_all,
+        "agg_append": q_agg_append,
+        "agg_percent_sampler": q_agg_percent_sampler,
+        "agg_tail_sampler": q_agg_tail_sampler,
+        "agg_rate_limiter": q_agg_rate_limiter,
+        "service_map_edges": q_service_map_edges,
+        "trace_group_fill": q_trace_group_fill,
+        "obfuscate_redact": q_obfuscate_redact,
+        "user_agent_parse": q_user_agent_parse,
+        "anomaly_zscore": q_anomaly_zscore,
+        "csv_roundtrip": q_csv_roundtrip,
+        "mutate_event_ops": q_mutate_event_ops,
     }
 
 
@@ -582,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_events_oracles())
     out.update(_roundtrip_oracles())
     out.update(_textops_oracles())
+    out.update(_extra_oracles())
     # minhash_lsh_pairs / simhash / ann_lsh_topk: engine-hash-dependent
     # (xxhash64 / signed projections) — driver records rows-only checks.
     return out

@@ -132,8 +132,17 @@ def tail_sampler(
     )
 
 
-def rate_limiter(df: DataFrame, identification_keys: list[str], events_per_second: int, ts: str) -> DataFrame:
+def rate_limiter(
+    df: DataFrame,
+    identification_keys: list[str],
+    events_per_second: int,
+    ts: str,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
     """RateLimiterAggregateAction.java:22,35 (drop mode) — keep at most
-    events_per_second per group per 1-second window."""
-    w = Window.partitionBy(*identification_keys, F.window(F.col(ts), "1 second")).orderBy(ts)
+    events_per_second per group per 1-second window. ``tiebreakers`` pin
+    which events survive when several share a timestamp (the reference
+    keeps arrival order, which is nondeterministic across runs)."""
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (tiebreakers or [])]
+    w = Window.partitionBy(*identification_keys, F.window(F.col(ts), "1 second")).orderBy(*order)
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= events_per_second).drop("__rn")

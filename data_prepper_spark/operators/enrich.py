@@ -1,0 +1,128 @@
+"""Enrichment / redaction processors: obfuscate, user_agent, geo lookup.
+
+Reference semantics (paths under /root/reference/data-prepper-plugins/):
+- obfuscate: masks substrings matching ``patterns`` in ``source`` with a
+  mask string (obfuscate-processor/.../ObfuscationProcessor.java:31,92;
+  action/MaskAction.java:14 — default mask '***').
+- user_agent: parses a UA string into {name, version, os, device,
+  original} (user-agent-processor/.../UserAgentProcessor.java:29,43-55,
+  backed by uap-java's regex database).
+- geoip: enriches IP keys from a MaxMind database
+  (geoip-processor/.../GeoIPProcessor.java:34,71-86).
+
+Spark-first: obfuscate is chained ``regexp_replace`` (codegen, zero
+Python). user_agent uses a compact built-in regex ruleset — the uap
+database is a large regex list; we ship a deterministic subset covering
+the major engines, applied entirely with ``regexp_extract`` (swap in the
+full uap rules as a broadcast list + pandas UDF if full fidelity is
+needed). geoip becomes a broadcast range join against a prefix table —
+the mmdb's binary trie re-expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MASK = "***"
+
+
+def obfuscate(
+    df: DataFrame,
+    source: str,
+    patterns: list[str] | None = None,
+    mask: str = DEFAULT_MASK,
+    target: str | None = None,
+    when: str | None = None,
+) -> DataFrame:
+    """Mask every match of each pattern in ``source``; in place unless
+    ``target`` given. No patterns -> mask the entire value
+    (ObfuscationProcessor.java:92)."""
+    col = F.col(source)
+    if patterns:
+        for p in patterns:
+            col = F.regexp_replace(col, p, mask)
+    else:
+        col = F.when(col.isNotNull(), F.lit(mask)).otherwise(col)
+    out_key = target or source
+    if when is not None:
+        col = F.when(F.expr(when), col).otherwise(F.col(source))
+    return df.withColumn(out_key, col)
+
+
+# (family regex, browser label) — first match wins, like uap-core ordering
+_UA_BROWSERS = [
+    (r"Firefox/(\d+[\.\d]*)", "Firefox"),
+    (r"Edg/(\d+[\.\d]*)", "Edge"),
+    (r"Chrome/(\d+[\.\d]*)", "Chrome"),
+    (r"Version/(\d+[\.\d]*).*Safari", "Safari"),
+    (r"curl/(\d+[\.\d]*)", "curl"),
+]
+_UA_OS = [
+    (r"Windows NT [\d\.]+", "Windows"),
+    (r"Mac OS X", "Mac OS X"),
+    (r"Android", "Android"),
+    (r"iPhone OS|iOS", "iOS"),
+    (r"Linux", "Linux"),
+]
+
+
+def user_agent(
+    df: DataFrame, source: str, target: str = "user_agent", when: str | None = None
+) -> DataFrame:
+    """Parse ``source`` UA string into a struct(name, version, os, device,
+    original) column ``target`` — pure regexp_extract chain."""
+    ua = F.col(source)
+    name = F.lit("Other")
+    version = F.lit("")
+    for pat, label in reversed(_UA_BROWSERS):
+        hit = ua.rlike(pat)
+        name = F.when(hit, F.lit(label)).otherwise(name)
+        version = F.when(hit, F.regexp_extract(ua, pat, 1)).otherwise(version)
+    os_ = F.lit("Other")
+    for pat, label in reversed(_UA_OS):
+        os_ = F.when(ua.rlike(pat), F.lit(label)).otherwise(os_)
+    device = (
+        F.when(ua.rlike(r"iPhone"), "iPhone")
+        .when(ua.rlike(r"iPad"), "iPad")
+        .when(ua.rlike(r"Android"), "Android")
+        .otherwise("Other")
+    )
+    st = F.struct(
+        name.alias("name"),
+        version.alias("version"),
+        os_.alias("os"),
+        device.alias("device"),
+        ua.alias("original"),
+    )
+    if when is not None:
+        st = F.when(F.expr(when), st)
+    return df.withColumn(target, st)
+
+
+def geo_enrich(
+    df: DataFrame,
+    ip_col: str,
+    geo: DataFrame,
+    target_fields: list[str] | None = None,
+) -> DataFrame:
+    """Broadcast prefix-range lookup: ``geo`` has (net_lo long, net_hi
+    long, ...attrs) rows over the integer IPv4 space; each event joins the
+    range containing its address. The geo table is small (MaxMind city is
+    ~4M rows; country ~400k) -> broadcast + range predicate, which AQE
+    executes as BroadcastNestedLoopJoin with the predicate pushed into the
+    build-side scan. For the city-scale table, bucket both sides by /16
+    prefix first to make it an equi-join."""
+    ip = F.col(ip_col)
+    parts = F.split(ip, r"\.")
+    as_long = (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )
+    enriched = df.withColumn("__ip_num", as_long)
+    cond = (F.col("__ip_num") >= geo["net_lo"]) & (F.col("__ip_num") <= geo["net_hi"])
+    keep = target_fields or [c for c in geo.columns if c not in ("net_lo", "net_hi")]
+    out = enriched.join(F.broadcast(geo), cond, "left")
+    return out.select(*df.columns, *keep)

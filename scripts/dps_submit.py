@@ -1,0 +1,92 @@
+"""spark-submit entry point for the engine (north-rule run surface).
+
+On a real cluster:
+
+  zip -r dps.zip data_prepper_spark
+  spark-submit --master yarn --deploy-mode cluster \\
+      --py-files dps.zip scripts/dps_submit.py \\
+      build --source s3a://bucket/code_files --out s3a://bucket/index \\
+            --n-shards 4096 --units 64 --shard-groups 16
+
+  spark-submit --py-files dps.zip scripts/dps_submit.py \\
+      query --index s3a://bucket/index --q "hash join spill" --k 10
+
+  spark-submit --py-files dps.zip scripts/dps_submit.py \\
+      gen --sf 0.01 --out /tmp/code_files     # deterministic test corpus
+
+Uses the session spark-submit provides (``getOrCreate`` picks up master /
+memory / executor sizing from the cluster manager); local runs fall back
+to the sandbox defaults in ``session.get_spark``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="dps_submit")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="resumable index build")
+    b.add_argument("--source", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--n-shards", type=int, default=64)
+    b.add_argument("--units", type=int, default=4)
+    b.add_argument("--shard-groups", type=int, default=4)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--no-resume", action="store_true")
+
+    q = sub.add_parser("query", help="block-max WAND BM25 top-k")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True, nargs="+")
+    q.add_argument("--k", type=int, default=10)
+
+    g = sub.add_parser("gen", help="deterministic synthetic code corpus")
+    g.add_argument("--sf", type=float, required=True)
+    g.add_argument("--out", required=True)
+
+    args = ap.parse_args()
+
+    from data_prepper_spark.session import get_spark
+
+    spark = get_spark("dps-submit")
+
+    if args.cmd == "build":
+        from data_prepper_spark.index.build import build_index
+
+        res = build_index(
+            spark,
+            args.source,
+            args.out,
+            n_shards=args.n_shards,
+            block_size=args.block_size,
+            units=args.units,
+            shard_groups=args.shard_groups,
+            resume=not args.no_resume,
+        )
+        ledger = spark.read.parquet(os.path.join(args.out, "build_ledger"))
+        print(f"built index at {res.out_dir}: n_docs={res.n_docs} avgdl={res.avgdl:.2f}")
+        ledger.orderBy("stage", "unit_id").show(100, truncate=False)
+    elif args.cmd == "query":
+        from data_prepper_spark.query.engine import IndexQueryEngine
+
+        engine = IndexQueryEngine(spark, args.index, persist_blocks=False)
+        for qtext in args.q:
+            print(f"query: {qtext!r}")
+            engine.topk(qtext, args.k).show(args.k, truncate=False)
+    elif args.cmd == "gen":
+        from data_prepper_spark.corpus import write_code_files
+
+        write_code_files(spark, args.sf, args.out)
+        print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Unit tests for trace / anomaly / enrich / aggregate-action operators,
+reference-unit-test style (SURVEY §5.1): crafted input events, asserted
+output events."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_prepper_spark.operators import aggregate as agg_ops
+from data_prepper_spark.operators.anomaly import rcf_anomalies, zscore_anomalies
+from data_prepper_spark.operators.enrich import geo_enrich, obfuscate, user_agent
+from data_prepper_spark.operators.trace import fill_trace_group, service_map_edges
+
+
+def _spans(spark):
+    rows = [
+        # traceId, spanId, parentSpanId, serviceName, traceGroup
+        ("t1", "a", None, "front", "checkout"),
+        ("t1", "b", "a", "cart", None),
+        ("t1", "c", "b", "pay", None),
+        ("t2", "d", "", "front", "search"),
+        ("t2", "e", "d", "front", None),  # same service: no edge
+    ]
+    return spark.createDataFrame(
+        rows, "traceId string, spanId string, parentSpanId string, serviceName string, traceGroup string"
+    )
+
+
+def test_fill_trace_group(spark):
+    out = fill_trace_group(_spans(spark))
+    got = {r["spanId"]: r["traceGroup"] for r in out.collect()}
+    assert got == {"a": "checkout", "b": "checkout", "c": "checkout", "d": "search", "e": "search"}
+
+
+def test_service_map_edges(spark):
+    got = {(r["source"], r["destination"]) for r in service_map_edges(_spans(spark)).collect()}
+    assert got == {("front", "cart"), ("cart", "pay")}
+
+
+def test_zscore_anomalies(spark):
+    rows = [("a", float(v)) for v in [10, 11, 9, 10, 10, 11, 9, 10, 100]] + [
+        ("b", 5.0),
+        ("b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = zscore_anomalies(df, ["k"], "v", threshold=2.0).collect()
+    assert len(out) == 1 and out[0]["v"] == 100.0 and out[0]["deviation"] > 2.0
+
+
+def test_rcf_anomalies(spark):
+    rows = [("a", float(v)) for v in range(100)] + [("a", 10000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = rcf_anomalies(df, ["k"], "v", quantile=0.95).collect()
+    assert any(r["v"] == 10000.0 and r["grade"] > 0 for r in out)
+
+
+def test_obfuscate(spark):
+    df = spark.createDataFrame([("card 1234-5678",), ("no digits",)], "s string")
+    out = [r["s"] for r in obfuscate(df, "s", patterns=[r"\d{4}"]).collect()]
+    assert sorted(out) == ["card ***-***", "no digits"]
+    full = [r["s"] for r in obfuscate(df, "s").collect()]
+    assert full == ["***", "***"]
+
+
+def test_user_agent(spark):
+    df = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537 Chrome/120.0.0.1 Safari/537",),
+            ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1) Version/17.1 Safari/604.1",),
+            ("curl/8.5.0",),
+        ],
+        "ua string",
+    )
+    out = [r["user_agent"] for r in user_agent(df, "ua").collect()]
+    assert out[0]["name"] == "Chrome" and out[0]["version"].startswith("120") and out[0]["os"] == "Windows"
+    assert out[1]["name"] == "Safari" and out[1]["device"] == "iPhone"
+    assert out[2]["name"] == "curl" and out[2]["version"] == "8.5.0"
+
+
+def test_geo_enrich(spark):
+    events = spark.createDataFrame([("10.0.0.5",), ("192.168.1.9",), ("8.8.8.8",)], "ip string")
+    geo = spark.createDataFrame(
+        [
+            (10 * 16777216, 10 * 16777216 + 16777215, "net-10", "US"),
+            (192 * 16777216 + 168 * 65536, 192 * 16777216 + 168 * 65536 + 65535, "rfc1918", "EU"),
+        ],
+        "net_lo long, net_hi long, net_name string, country string",
+    )
+    out = {r["ip"]: (r["net_name"], r["country"]) for r in geo_enrich(events, "ip", geo).collect()}
+    assert out["10.0.0.5"] == ("net-10", "US")
+    assert out["192.168.1.9"] == ("rfc1918", "EU")
+    assert out["8.8.8.8"] == (None, None)
+
+
+def test_rate_limiter_cap(spark):
+    rows = [(k, "2024-01-01 00:00:00", i) for k in ("a", "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts string, i long").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = agg_ops.rate_limiter(df, ["k"], 2, "ts", tiebreakers=["i"]).collect()
+    by_k: dict[str, list[int]] = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append(r["i"])
+    assert {k: sorted(v) for k, v in by_k.items()} == {"a": [0, 1], "b": [0, 1]}
+
+
+def test_percent_sampler_share(spark):
+    rows = [("g", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, i long")
+    out = agg_ops.percent_sampler(df, ["k"], 10.0, "i").collect()
+    assert sorted(r["i"] for r in out) == list(range(10))
