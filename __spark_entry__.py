@@ -687,6 +687,72 @@ def q_mutate_event_ops(spark, sf_dir):
     )
 
 
+HIST_BOUNDS = [0.0, 50.0, 100.0, 250.0, 400.0]
+
+
+def q_otel_histogram(spark, sf_dir):
+    from data_prepper_spark.operators.metrics import histogram_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    out = histogram_buckets(ev, ["event_type"], "value", HIST_BOUNDS)
+    return out.select(
+        "event_type",
+        "bucketCounts",
+        "explicitBounds",
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+        F.round("sum", 4).alias("sum"),
+        "count",
+    )
+
+
+def q_otel_gauge_sum(spark, sf_dir):
+    from data_prepper_spark.operators.metrics import normalize_gauge_sum
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "kind", F.when(F.col("event_id") % 2 == 0, "gauge").otherwise("sum")
+    )
+    out = normalize_gauge_sum(ev)
+    return out.select(
+        "event_id",
+        F.col("metric.kind").alias("kind"),
+        F.round(F.col("metric.value"), 4).alias("value"),
+        F.col("metric.isMonotonic").alias("is_monotonic"),
+        F.col("metric.aggregationTemporality").alias("temporality"),
+    )
+
+
+def q_pipeline_yaml(spark, sf_dir):
+    """Full reference-shaped YAML pipeline (source -> processors -> route ->
+    sink) compiled to one DataFrame via data_prepper_spark.pipeline."""
+    from data_prepper_spark.pipeline import PipelineRunner
+
+    ev = _t(spark, sf_dir, "events")
+    model = {
+        "events-pipeline": {
+            "source": {"dataframe": {"name": "events"}},
+            "processor": [
+                {"add_entries": {"entries": [{"key": "label", "format": "${event_type}:${user_id}"}]}},
+                {"uppercase_string": {"with_keys": ["event_type"]}},
+                {"drop_events": {"drop_when": "/value < 50"}},
+                {
+                    "translate": {
+                        "source": "event_type",
+                        "target": "cat",
+                        "map": {"CLICK": "ui", "VIEW": "ui", "ERROR": "ops"},
+                        "default": "other",
+                    }
+                },
+            ],
+            "routes": [{"ui_high": '/cat == "ui" and /value >= 400'}],
+            "sink": [{"stdout": {"routes": ["ui_high"]}}],
+        }
+    }
+    runner = PipelineRunner(spark, model, dataframes={"events": ev})
+    sdf = runner.sink_frames("events-pipeline")[0][1]
+    return sdf.select("event_id", "label", "cat", F.round("value", 4).alias("value"))
+
+
 def _extra_oracles() -> dict[str, str]:
     spans_sql = """
         select cast(user_id as varchar) as traceId,
@@ -762,6 +828,41 @@ def _extra_oracles() -> dict[str, str]:
             select event_id, props as payload,
                    cast(user_id as varchar) as uid_val, event_type as etype_val
             from events""",
+        "pipeline_yaml": """
+            with p as (
+              select event_id,
+                     event_type || ':' || cast(user_id as varchar) as label,
+                     upper(event_type) as etype_u, value
+              from events where value >= 50)
+            select event_id, label,
+                   case etype_u when 'CLICK' then 'ui' when 'VIEW' then 'ui'
+                        when 'ERROR' then 'ops' else 'other' end as cat,
+                   round(value, 4) as value
+            from p
+            where case etype_u when 'CLICK' then 'ui' when 'VIEW' then 'ui'
+                       when 'ERROR' then 'ops' else 'other' end = 'ui'
+              and value >= 400""",
+        "otel_histogram": """
+            select event_type,
+                   list_value(
+                     sum(case when value <= 0 then 1 else 0 end),
+                     sum(case when value > 0 and value <= 50 then 1 else 0 end),
+                     sum(case when value > 50 and value <= 100 then 1 else 0 end),
+                     sum(case when value > 100 and value <= 250 then 1 else 0 end),
+                     sum(case when value > 250 and value <= 400 then 1 else 0 end),
+                     sum(case when value > 400 then 1 else 0 end)
+                   ) as bucketCounts,
+                   [0.0, 50.0, 100.0, 250.0, 400.0]::DOUBLE[] as explicitBounds,
+                   round(min(value), 4) as min, round(max(value), 4) as max,
+                   round(sum(value), 4) as sum, count(*) as count
+            from events group by event_type""",
+        "otel_gauge_sum": """
+            select event_id,
+                   case when event_id % 2 = 0 then 'gauge' else 'sum' end as kind,
+                   round(value, 4) as value,
+                   case when event_id % 2 = 0 then null else true end as is_monotonic,
+                   case when event_id % 2 = 0 then null else 'CUMULATIVE' end as temporality
+            from events""",
     }
 
 
@@ -814,6 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "csv_roundtrip": q_csv_roundtrip,
         "mutate_event_ops": q_mutate_event_ops,
+        "pipeline_yaml": q_pipeline_yaml,
+        "otel_histogram": q_otel_histogram,
+        "otel_gauge_sum": q_otel_gauge_sum,
     }
 
 

@@ -2,19 +2,29 @@
 
 Spec (applied in exactly this order — all three renderings MUST match):
 
-  1. Replace every maximal run of characters outside ``[A-Za-z0-9_]``
-     with a single space.                       (punctuation/operators out)
-  2. Insert a space between a lowercase-or-digit and an uppercase char:
+  1. Insert a space between a lowercase-or-digit and an uppercase char:
      ``([a-z0-9])([A-Z])`` -> ``\\1 \\2``        (camelCase -> camel Case)
-  3. Insert a space between an uppercase run and an Upper-lower pair:
+  2. Insert a space between an uppercase run and an Upper-lower pair:
      ``([A-Z]+)([A-Z][a-z])`` -> ``\\1 \\2``      (HTTPServer -> HTTP Server)
-  4. Lowercase.
-  5. Split on runs of space or underscore; drop empty strings.
+  3. Lowercase.
+  4. Split on runs of characters outside ``[a-z0-9]``; drop empty strings.
 
 The result is the token list in document order; ``doc_len`` is its size.
 
+Equivalent to the v0 spec (replace non-word runs with spaces, camel-split,
+split on ``[ _]+``) because: step-1/2 matches are adjacent alnum pairs, so
+punctuation removal cannot create or destroy them; and splitting on all
+non-alphanumerics subsumes both the space separators the old rule 1
+introduced and the underscore split of the old rule 5. The rewrite exists
+for performance: ``regexp_replace`` with a high match density builds a
+replacement buffer per match (measured 46 s for the non-word rule alone on
+a 365 MB corpus slice — 10x the rest of the analyzer combined, and it
+anti-scales with cores from allocation pressure), while ``split`` on the
+same pattern is a single pass (1.3 s). The camel rules have low match
+density and stay as replaces.
+
 Rendering 1 (engine hot path) is pure Spark SQL expressions — whole-stage
-codegen, zero Python. The reference does this per-event in Java regex
+codegen, zero Python. The reference does per-event Java regex
 (grok-processor/.../GrokProcessor.java:120-136 is the analogous regex
 machinery); we do it columnar.
 
@@ -34,19 +44,20 @@ from pyspark.sql import functions as F
 # (pattern, replacement) pairs: Java/Spark uses $1, Python/DuckDB use \1.
 _RULE1 = ("([a-z0-9])([A-Z])", r"$1 $2")
 _RULE2 = ("([A-Z]+)([A-Z][a-z])", r"$1 $2")
-_NON_WORD = "[^A-Za-z0-9_]+"
-_SPLIT = "[ _]+"
+_SPLIT = "[^a-z0-9]+"
 
 
 def tokens_col(content: Column | str) -> Column:
     """array<string> of analyzed tokens, document order. Pure built-ins."""
     c = F.col(content) if isinstance(content, str) else content
-    s = F.regexp_replace(c, _NON_WORD, " ")
-    s = F.regexp_replace(s, _RULE1[0], _RULE1[1])
+    s = F.regexp_replace(c, _RULE1[0], _RULE1[1])
     s = F.regexp_replace(s, _RULE2[0], _RULE2[1])
     s = F.lower(s)
     arr = F.split(s, _SPLIT)
-    return F.filter(arr, lambda x: x != F.lit(""))
+    # array_remove == "drop empty strings" (only leading/trailing empties
+    # can exist under a `+` split pattern); it is a codegen'd expression,
+    # ~3x faster than an interpreted filter() lambda at 80M tokens
+    return F.array_remove(arr, "")
 
 
 def doc_len_col(content: Column | str) -> Column:
@@ -54,28 +65,25 @@ def doc_len_col(content: Column | str) -> Column:
     return F.size(tokens_col(content))
 
 
-_P1 = re.compile(_NON_WORD)
-_P2 = re.compile(_RULE1[0])
-_P3 = re.compile(_RULE2[0])
-_P4 = re.compile(_SPLIT)
+_P1 = re.compile(_RULE1[0])
+_P2 = re.compile(_RULE2[0])
+_P3 = re.compile(_SPLIT)
 
 
 def tokenize_py(text: str) -> list[str]:
     """Pure-Python rendering of the exact same spec (for the oracle)."""
-    s = _P1.sub(" ", text)
+    s = _P1.sub(r"\1 \2", text)
     s = _P2.sub(r"\1 \2", s)
-    s = _P3.sub(r"\1 \2", s)
     s = s.lower()
-    return [t for t in _P4.split(s) if t]
+    return [t for t in _P3.split(s) if t]
 
 
 def duckdb_tokens_sql(col: str) -> str:
     """DuckDB SQL expression producing list<varchar> of analyzed tokens."""
     return (
         "list_filter(string_split_regex(lower("
-        f"regexp_replace(regexp_replace(regexp_replace({col}, "
-        "'[^A-Za-z0-9_]+', ' ', 'g'), "
+        f"regexp_replace(regexp_replace({col}, "
         "'([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
         "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), "
-        "'[ _]+'), x -> x <> '')"
+        "'[^a-z0-9]+'), x -> x <> '')"
     )

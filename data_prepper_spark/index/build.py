@@ -52,8 +52,14 @@ K1 = 1.2
 B = 0.75
 CODE_VERSION = "dps-0.1"
 
+# blocks are keyed by xxhash64(term), not the term string: the Python
+# block encoder and the WAND kernel then touch only fixed-width int64
+# columns (no per-posting Python string objects across the Arrow boundary
+# — measured as the stage-B scaling bottleneck), and the dictionary maps
+# term -> term_hash for query-time lookup. 64-bit collisions are ~1e-19
+# at design vocabulary sizes.
 BLOCKS_SCHEMA = (
-    "term string, shard int, block_id int, first_doc_id long, n_docs int, "
+    "term_hash long, shard int, block_id int, first_doc_id long, n_docs int, "
     "doc_gaps binary, tfs binary, dls binary, block_max_tf int, block_max_wtf double"
 )
 
@@ -111,15 +117,18 @@ def _shard_block_builder(avgdl: float, block_size: int) -> Callable:
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
-        p = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms = p["term"].to_numpy()
-        doc_ids = p["doc_id"].to_numpy(np.int64)
-        tfs = p["tf"].to_numpy(np.int64)
-        dls = p["doc_len"].to_numpy(np.int64)
-        n = len(p)
+        # pure int64 lexsort on (term_hash, doc_id): grouping needs term
+        # *runs*, not alphabetical order, so the hash is a valid sort key
+        hashes = pdf["term_hash"].to_numpy(np.int64)
+        order = np.lexsort((pdf["doc_id"].to_numpy(np.int64), hashes))
+        hashes = hashes[order]
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)[order]
+        tfs = pdf["tf"].to_numpy(np.int64)[order]
+        dls = pdf["doc_len"].to_numpy(np.int64)[order]
+        n = len(doc_ids)
         new_term = np.empty(n, dtype=bool)
         new_term[0] = True
-        new_term[1:] = terms[1:] != terms[:-1]
+        new_term[1:] = hashes[1:] != hashes[:-1]
         run_id = np.cumsum(new_term) - 1
         run_start = np.flatnonzero(new_term)
         pos_in_run = np.arange(n) - run_start[run_id]
@@ -139,7 +148,7 @@ def _shard_block_builder(avgdl: float, block_size: int) -> Callable:
         dl_bufs = encode_varints_segmented(dls.astype(np.uint64), counts)
         return pd.DataFrame(
             {
-                "term": terms[block_start],
+                "term_hash": hashes[block_start],
                 "shard": shard,
                 "block_id": (pos_in_run[block_start] // block_size).astype(np.int32),
                 "first_doc_id": doc_ids[block_start],
@@ -156,7 +165,10 @@ def _shard_block_builder(avgdl: float, block_size: int) -> Callable:
 
 
 def blocks_from_postings(postings: DataFrame, avgdl: float, block_size: int = 128) -> DataFrame:
-    return postings.groupBy("shard").applyInPandas(
+    slim = postings.select(
+        F.xxhash64("term").alias("term_hash"), "shard", "doc_id", "tf", "doc_len"
+    )
+    return slim.groupBy("shard").applyInPandas(
         _shard_block_builder(avgdl, block_size), BLOCKS_SCHEMA
     )
 
@@ -181,8 +193,8 @@ def _ledger_append(io: TableIO, spark: SparkSession, rows: list[tuple]) -> None:
     df = spark.createDataFrame(
         rows,
         "stage string, unit_id int, state string, docs_tokenized long, "
-        "postings_emitted long, blocks_written long, source_snapshot string, "
-        "code_version string",
+        "postings_emitted long, blocks_written long, doc_len_sum long, "
+        "source_snapshot string, code_version string",
     ).withColumn("updated_at", F.current_timestamp())
     io.write(df, "build_ledger", mode="append")
 
@@ -210,6 +222,18 @@ def build_index(
     ``fault_injector(stage, unit)`` is a test hook called before each unit
     commits — raising from it simulates a mid-build crash.
     """
+    import sys
+    import time as _time
+
+    debug = os.environ.get("DPS_BUILD_DEBUG") == "1"
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if debug:
+            print(f"BUILD_PHASE {label}: {_time.time() - _t0:.1f}s", file=sys.stderr, flush=True)
+        _t0 = _time.time()
+
     io = TableIO(out_dir)
     done = _ledger_done(io, spark) if resume else set()
 
@@ -222,44 +246,54 @@ def build_index(
     units = max(1, min(units, len(files)))
     unit_files = [files[i::units] for i in range(units)]
     from pyspark.sql import Observation
-    from pyspark.storagelevel import StorageLevel
 
     for u, fl in enumerate(unit_files):
         if ("A", u) in done:
             continue
         if fault_injector:
             fault_injector("A", u)
-        # persist the tokenized unit so docs + postings share one tokenize
-        # pass; MEMORY_AND_DISK bounds executor memory at unit granularity
-        # (unit count is a build parameter sized so a unit fits the cluster)
-        base = docs_df(spark.read.parquet(*fl)).persist(StorageLevel.MEMORY_AND_DISK)
+        # two scans tokenize independently rather than caching the token
+        # arrays: materializing ~1 KB of array<string> per doc into the
+        # columnar cache measured *slower* than re-running the (cheap,
+        # codegen'd) analyzer, and the cache's memory pressure degraded
+        # every concurrent stage — at 100 TB the cache wouldn't fit anyway
+        base = docs_df(spark.read.parquet(*fl))
         posts = postings_from_docs(base, n_shards)
         # per-unit dirs make the commit idempotent under overwrite; counters
         # ride the write jobs as Observation metrics — no extra count jobs
         obs_docs, obs_posts = Observation(), Observation()
-        docs_out = base.drop("tokens").observe(obs_docs, F.count(F.lit(1)).alias("n"))
+        docs_out = base.drop("tokens").observe(
+            obs_docs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("dl_sum")
+        )
         docs_out.write.mode("overwrite").parquet(io.path(f"docs/unit={u}"))
         posts.observe(obs_posts, F.count(F.lit(1)).alias("n")).repartition(
             "shard"
         ).sortWithinPartitions("term", "doc_id").write.mode("overwrite").partitionBy(
             "shard"
         ).parquet(io.path(f"postings/unit={u}"))
-        base.unpersist()
         n_docs = int(obs_docs.get["n"])
         n_posts = int(obs_posts.get["n"])
-        _ledger_append(io, spark, [("A", u, "done", n_docs, n_posts, 0, source_path, CODE_VERSION)])
+        _ledger_append(
+            io, spark,
+            [("A", u, "done", n_docs, n_posts, 0, int(obs_docs.get["dl_sum"]), source_path, CODE_VERSION)],
+        )
+        _mark(f"stageA unit {u}")
 
-    docs = spark.read.parquet(io.path("docs"))  # unit=* discovered as partition
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    # corpus stats roll up from the per-unit ledger counters (captured as
+    # Observation metrics on the write jobs) — no extra scan of the docs
+    # table; resume-safe because the ledger is durable per unit
+    led = io.read(spark, "build_ledger").where("stage = 'A' and state = 'done'")
+    lrow = led.agg(
+        F.sum("docs_tokenized").alias("n"), F.sum("doc_len_sum").alias("dl")
     ).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_docs, avgdl = int(lrow["n"]), float(lrow["dl"]) / max(int(lrow["n"]), 1)
     io.write(
         spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double"),
         "corpus_stats",
     )
 
     postings = spark.read.parquet(io.path("postings"))
+    _mark("corpus_stats")
 
     # ---- stage B: runs -> compressed block-max blocks, per shard group
     shard_groups = max(1, min(shard_groups, n_shards))
@@ -275,14 +309,26 @@ def build_index(
             "overwrite"
         ).partitionBy("shard").parquet(io.path(f"posting_blocks/group={g}"))
         n_blocks = int(obs_blocks.get["n"])
-        _ledger_append(io, spark, [("B", g, "done", 0, 0, n_blocks, source_path, CODE_VERSION)])
+        _ledger_append(io, spark, [("B", g, "done", 0, 0, n_blocks, 0, source_path, CODE_VERSION)])
+        _mark(f"stageB group {g}")
 
-    # ---- dictionary: df/cf + per-term upper bound for WAND pruning
+    # ---- dictionary: df/cf + per-term upper bound for WAND pruning;
+    # carries term_hash so query-time block lookup never needs strings
     blocks_all = spark.read.parquet(io.path("posting_blocks"))
-    ub = blocks_all.groupBy("term").agg(
+    ub = blocks_all.groupBy("term_hash").agg(
         F.max("block_max_wtf").alias("max_wtf"), F.sum("n_docs").alias("n_blocks_docs")
     )
-    dic = dictionary_from_postings(postings).join(ub.drop("n_blocks_docs"), "term", "left")
-    io.write(dic.repartitionByRange(8, "term").sortWithinPartitions("term"), "dictionary")
+    dic = (
+        dictionary_from_postings(postings)
+        .withColumn("term_hash", F.xxhash64("term"))
+        .join(ub.drop("n_blocks_docs"), "term_hash", "left")
+    )
+    # hash-partition + sortWithinPartitions: term lookups still prune via
+    # parquet row-group min/max inside each sorted file. repartitionByRange
+    # would add file-level pruning but costs a range-sampling pass that
+    # RE-EXECUTES the whole dictionary aggregation — not worth it; at
+    # design scale bump 8 -> O(shards) partitions.
+    io.write(dic.repartition(8, "term").sortWithinPartitions("term"), "dictionary")
+    _mark("dictionary")
 
     return BuildResult(out_dir, n_docs, avgdl, n_shards)

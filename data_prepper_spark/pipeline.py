@@ -1,0 +1,268 @@
+"""YAML pipeline definitions -> DataFrame programs (SURVEY §3.1).
+
+The reference boots from YAML: `PipelinesDataflowModelParser` deserializes
+pipelines into {source, buffer, processors, routes, sinks}, a validator
+checks names/cycles, and `PipelineTransformer` wires plugin instances into
+`Pipeline` objects executed by thread pools (data-prepper-core/.../parser/
+PipelinesDataflowModelParser.java, PipelineTransformer.java:85-177,
+core:pipeline/Pipeline.java:191-257). There is no optimizer between model
+and execution — YAML runs as written.
+
+Here the same YAML shape compiles to a *lazy DataFrame per (pipeline,
+sink)*: processors are column transforms, routes are filters on the
+translated expression language, the pipeline connector is a DataFrame
+handoff, and Catalyst provides the optimizer the reference lacks. Buffers,
+worker counts, and the circuit breaker have no equivalent knobs — the
+Spark scheduler owns them (§4.1).
+
+Supported plugin names mirror @DataPrepperPlugin registrations; configs
+accept the reference's YAML key shapes (e.g. grok's ``match`` map,
+dissect's ``map``, mutate's ``entries``). Every processor accepts a
+``when`` gate in Data Prepper expression syntax.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import expression
+from .operators import aggregate as agg_ops
+from .operators import mutate, parse
+from .operators.enrich import obfuscate, user_agent
+from .operators.translate import translate_map
+from .sinks import write_sink
+from .sources import log_generator, read_source
+
+
+def _gate(cfg: dict) -> str | None:
+    w = cfg.get("when")
+    return expression.translate(w) if w else None
+
+
+def _p_grok(df, cfg):
+    return parse.grok(df, match=cfg["match"], when=_gate(cfg))
+
+
+def _p_key_value(df, cfg):
+    return parse.key_value(
+        df,
+        source=cfg.get("source", "message"),
+        destination=cfg.get("destination", "parsed_message"),
+        field_split_characters=cfg.get("field_split_characters", "&"),
+        value_split_characters=cfg.get("value_split_characters", "="),
+        transform_key=cfg.get("transform_key"),
+        include_keys=cfg.get("include_keys"),
+        when=_gate(cfg),
+    )
+
+
+def _p_csv(df, cfg):
+    return parse.csv_parse(
+        df,
+        source=cfg.get("source", "message"),
+        column_names=cfg["column_names"],
+        delimiter=cfg.get("delimiter", ","),
+        quote_character=cfg.get("quote_character", '"'),
+        when=_gate(cfg),
+    )
+
+
+def _p_parse_json(df, cfg):
+    return parse.parse_json(
+        df,
+        source=cfg.get("source", "message"),
+        schema=cfg["schema"],
+        destination=cfg.get("destination"),
+        when=_gate(cfg),
+    )
+
+
+def _p_dissect(df, cfg):
+    if "map" in cfg:  # reference shape: {map: {source: pattern}}
+        [(src, pat)] = list(cfg["map"].items())
+    else:
+        src, pat = cfg["source"], cfg["pattern"]
+    return parse.dissect(df, source=src, pattern=pat, when=_gate(cfg))
+
+
+def _p_date(df, cfg):
+    m = cfg["match"][0] if isinstance(cfg["match"], list) else cfg["match"]
+    return parse.date_parse(
+        df,
+        source=m["key"],
+        formats=m["patterns"],
+        destination=cfg.get("destination", "@timestamp"),
+    )
+
+
+def _p_aggregate(df, cfg):
+    keys = cfg["identification_keys"]
+    action = cfg["action"]
+    name = next(iter(action))
+    opts = action[name] or {}
+    if name == "count":
+        return agg_ops.count(
+            df, keys, ts=cfg.get("ts"), group_duration=cfg.get("group_duration"),
+            count_key=opts.get("count_key", "value"),
+        )
+    if name == "histogram":
+        return agg_ops.histogram(df, keys, opts["key"], opts["buckets"])
+    if name == "remove_duplicates":
+        return agg_ops.remove_duplicates(df, keys, opts["order_by"])
+    if name == "put_all":
+        return agg_ops.put_all(df, keys, opts["order_by"])
+    if name == "append":
+        return agg_ops.append(df, keys, opts["keys_to_append"])
+    if name == "percent_sampler":
+        return agg_ops.percent_sampler(df, keys, opts["percent"], opts["order_by"])
+    if name == "rate_limiter":
+        return agg_ops.rate_limiter(
+            df, keys, opts["events_per_second"], opts["ts"], opts.get("tiebreakers")
+        )
+    raise ValueError(f"unknown aggregate action: {name}")
+
+
+PROCESSORS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
+    "grok": _p_grok,
+    "key_value": _p_key_value,
+    "csv": _p_csv,
+    "parse_json": _p_parse_json,
+    "dissect": _p_dissect,
+    "date": _p_date,
+    "add_entries": lambda df, c: mutate.add_entries(df, c["entries"], when=_gate(c)),
+    "copy_values": lambda df, c: mutate.copy_values(df, c["entries"], when=_gate(c)),
+    "rename_keys": lambda df, c: mutate.rename_keys(df, c["entries"]),
+    "delete_entries": lambda df, c: mutate.delete_entries(df, c["with_keys"]),
+    "convert_entry_type": lambda df, c: mutate.convert_entry_type(
+        df, c["key"], c["type"], when=_gate(c)
+    ),
+    "lowercase_string": lambda df, c: mutate.lowercase_string(df, c["with_keys"], when=_gate(c)),
+    "uppercase_string": lambda df, c: mutate.uppercase_string(df, c["with_keys"], when=_gate(c)),
+    "trim_string": lambda df, c: mutate.trim_string(df, c["with_keys"], when=_gate(c)),
+    "split_string": lambda df, c: mutate.split_string(df, c["entries"], when=_gate(c)),
+    "substitute_string": lambda df, c: mutate.substitute_string(df, c["entries"], when=_gate(c)),
+    "translate": lambda df, c: translate_map(
+        df, c["source"], c["target"], c["map"], default=c.get("default")
+    ),
+    "drop_events": lambda df, c: df.where(~expression.evaluate(c["drop_when"])),
+    "obfuscate": lambda df, c: obfuscate(
+        df, c["source"], patterns=c.get("patterns"), mask=c.get("mask", "***"), when=_gate(c)
+    ),
+    "user_agent": lambda df, c: user_agent(
+        df, c["source"], target=c.get("target", "user_agent")
+    ),
+    "aggregate": _p_aggregate,
+}
+
+
+class PipelineRunner:
+    """Compile a pipelines model (parsed YAML dict, reference shape) into
+    DataFrames; optionally execute file sinks.
+
+    model = {name: {source: {...}, processor: [...], routes: {...} | route:
+    [...], sink: [{...}]}}. Sinks accept ``routes: [names]`` exactly like
+    the reference (RouteEventEvaluator.java:34-72: an event reaches a sink
+    if it matches ANY of the sink's routes; sinks with no routes get all
+    events).
+    """
+
+    def __init__(self, spark: SparkSession, model: dict[str, Any],
+                 dataframes: dict[str, DataFrame] | None = None):
+        self.spark = spark
+        self.model = model
+        self.dataframes = dataframes or {}
+        self._outputs: dict[str, DataFrame] = {}  # processed DF per pipeline
+        self._building: set[str] = set()
+
+    @classmethod
+    def from_yaml(cls, spark: SparkSession, text: str,
+                  dataframes: dict[str, DataFrame] | None = None) -> "PipelineRunner":
+        import yaml
+
+        return cls(spark, yaml.safe_load(text), dataframes)
+
+    # ---- source -----------------------------------------------------------
+    def _source_df(self, name: str, cfg: dict) -> DataFrame:
+        stype = next(iter(cfg))
+        opts = cfg[stype] or {}
+        if stype == "pipeline":
+            return self._pipeline_output(opts["name"])
+        if stype == "dataframe":  # injection point for tests / library use
+            return self.dataframes[opts["name"]]
+        if stype in ("file", "s3"):
+            return read_source(
+                self.spark,
+                opts["path"],
+                codec=opts.get("codec", opts.get("format", "parquet")),
+                schema=opts.get("schema"),
+            )
+        if stype == "log_generator":
+            return log_generator(self.spark, int(opts.get("count", 1000)))
+        raise ValueError(f"unknown source type: {stype}")
+
+    # ---- pipeline graph ---------------------------------------------------
+    def _pipeline_output(self, name: str) -> DataFrame:
+        if name in self._outputs:
+            return self._outputs[name]
+        if name in self._building:
+            raise ValueError(f"pipeline cycle at {name!r}")
+        self._building.add(name)
+        spec = self.model[name]
+        df = self._source_df(name, spec["source"])
+        for proc in spec.get("processor", []) or []:
+            pname = next(iter(proc))
+            if pname not in PROCESSORS:
+                raise ValueError(f"unknown processor: {pname}")
+            df = PROCESSORS[pname](df, proc[pname] or {})
+        self._building.discard(name)
+        self._outputs[name] = df
+        return df
+
+    # ---- routes + sinks ---------------------------------------------------
+    def sink_frames(self, name: str) -> list[tuple[dict, DataFrame]]:
+        """[(sink_cfg, DataFrame)] for one pipeline, route filters applied."""
+        spec = self.model[name]
+        df = self._pipeline_output(name)
+        routes: dict[str, str] = {}
+        raw = spec.get("routes", spec.get("route", {}))
+        if isinstance(raw, list):  # reference allows a list of 1-key maps
+            for item in raw:
+                routes.update(item)
+        else:
+            routes.update(raw or {})
+        out = []
+        for sink in spec.get("sink", []) or []:
+            stype = next(iter(sink))
+            cfg = sink[stype] or {}
+            wanted = cfg.get("routes")
+            if wanted:
+                conds = [expression.translate(routes[r]) for r in wanted]
+                sdf = df.where(" or ".join(f"({c})" for c in conds))
+            else:
+                sdf = df
+            out.append(({stype: cfg}, sdf))
+        return out
+
+    def run(self, write: bool = True) -> dict[str, list[DataFrame]]:
+        """Materialize every terminal pipeline's sinks. ``pipeline`` sinks
+        are connectors (handled by the source side); ``file`` sinks write;
+        ``stdout`` sinks stay lazy for the caller."""
+        results: dict[str, list[DataFrame]] = {}
+        for name in self.model:
+            frames = []
+            for (sink, sdf) in self.sink_frames(name):
+                stype = next(iter(sink))
+                cfg = sink[stype]
+                if stype == "pipeline":
+                    continue  # consumed by the downstream pipeline's source
+                if stype == "file" and write:
+                    write_sink(
+                        sdf, cfg["path"], codec=cfg.get("codec", "parquet"),
+                        partition_by=cfg.get("partition_by"),
+                    )
+                frames.append(sdf)
+            results[name] = frames
+        return results

@@ -35,12 +35,13 @@ def query_term_stats(
     rows = (
         io.read(spark, "dictionary")
         .where(F.col("term").isin(terms))
-        .select("term", "df", "max_wtf")
+        .select("term", "term_hash", "df", "max_wtf")
         .collect()
     )
     return {
         r["term"]: {
             "df": int(r["df"]),
+            "hash": int(r["term_hash"]),
             "idf": idf(n_docs, int(r["df"])),
             "max_wtf": float(r["max_wtf"]) if r["max_wtf"] is not None else 0.0,
         }

@@ -60,13 +60,14 @@ class IndexQueryEngine:
             rows = (
                 self.io.read(self.spark, "dictionary")
                 .where(F.col("term").isin(missing))
-                .select("term", "df", "max_wtf")
+                .select("term", "term_hash", "df", "max_wtf")
                 .collect()
             )
             found = {r["term"] for r in rows}
             for r in rows:
                 self._dict_cache[r["term"]] = {
                     "df": int(r["df"]),
+                    "hash": int(r["term_hash"]),
                     "idf": _idf(self.n_docs, int(r["df"])),
                     "max_wtf": float(r["max_wtf"]) if r["max_wtf"] is not None else 0.0,
                 }
@@ -83,6 +84,7 @@ class IndexQueryEngine:
         empty = "rank int, doc_id long, score double"
         if not tstats:
             return self.spark.createDataFrame([], empty)
+        hstats = {s["hash"]: s for s in tstats.values()}
         avgdl, n = self.avgdl, k
 
         import pandas as pd
@@ -94,7 +96,7 @@ class IndexQueryEngine:
                     buf.setdefault(int(s), []).append(grp)
             rows = []
             for s, parts in buf.items():
-                rows.extend(_wand_shard(pd.concat(parts), tstats, avgdl, n))
+                rows.extend(_wand_shard(pd.concat(parts), hstats, avgdl, n))
             yield (
                 pd.DataFrame(rows, columns=["doc_id", "score"])
                 if rows
@@ -103,7 +105,7 @@ class IndexQueryEngine:
                 )
             )
 
-        filtered = self.blocks.where(F.col("term").isin(list(tstats)))
+        filtered = self.blocks.where(F.col("term_hash").isin(list(hstats)))
         if not self._prepartitioned:
             filtered = filtered.repartition(self.shard_partitions, "shard")
         local = filtered.mapInPandas(per_shard, "doc_id long, score double")

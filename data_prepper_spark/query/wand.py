@@ -124,11 +124,11 @@ class _Cursor:
 
 
 def _wand_shard(
-    groups: pd.DataFrame, tstats: dict[str, dict], avgdl: float, k: int
+    groups: pd.DataFrame, hstats: dict[int, dict], avgdl: float, k: int
 ) -> list[tuple[int, float]]:
     cursors = []
-    for term, bdf in groups.groupby("term"):
-        st = tstats.get(term)
+    for th, bdf in groups.groupby("term_hash"):
+        st = hstats.get(int(th))
         if st is not None:
             cursors.append(_Cursor(st["idf"], bdf, avgdl))
     cursors = [c for c in cursors if not c.exhausted()]
@@ -207,7 +207,10 @@ def bm25_topk_wand(
     empty = "rank int, doc_id long, score double"
     if not tstats:
         return spark.createDataFrame([], empty)
-    blocks = io.read(spark, "posting_blocks").where(F.col("term").isin(list(tstats)))
+    hstats = {s["hash"]: s for s in tstats.values()}
+    blocks = io.read(spark, "posting_blocks").where(
+        F.col("term_hash").isin(list(hstats))
+    )
 
     def per_shard(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # mapInPandas over shard-partitioned scan: each incoming batch holds
@@ -218,7 +221,7 @@ def bm25_topk_wand(
                 buf.setdefault(int(s), []).append(grp)
         rows = []
         for s, parts in buf.items():
-            hits = _wand_shard(pd.concat(parts), tstats, avgdl, k)
+            hits = _wand_shard(pd.concat(parts), hstats, avgdl, k)
             rows.extend(hits)
         yield pd.DataFrame(rows, columns=["doc_id", "score"]) if rows else pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}

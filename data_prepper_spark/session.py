@@ -42,8 +42,15 @@ def get_spark(
         # Arrow for every pandas UDF / mapInPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # Multi-KB content strings: keep scan partitions bounded.
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Multi-KB content strings are CPU-expensive per byte (regex,
+        # hashing), so size scan splits small enough that a modest local
+        # corpus still fans out across all cores; on a real cluster the
+        # default 128m is fine because inputs dwarf it. Env-overridable.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

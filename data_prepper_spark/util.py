@@ -18,6 +18,9 @@ def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() >= target:
+    # only shuffle when parallelism is badly degraded (< half target):
+    # a full round-robin exchange of wide content rows costs more than it
+    # saves when the scan is already within 2x of cluster parallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
         return df
     return df.repartition(target)

@@ -60,9 +60,13 @@ def test_corpus_stats(spark, index_dir):
 
 def test_blocks_roundtrip_and_blockmax(spark, index_dir):
     """Decompressed blocks == logical postings; block maxima dominate members."""
+    from pyspark.sql import functions as FF
+
     posts = {
-        (r.term, r.doc_id): (r.tf, r.doc_len)
-        for r in spark.read.parquet(f"{index_dir}/postings").collect()
+        (r.th, r.doc_id): (r.tf, r.doc_len)
+        for r in spark.read.parquet(f"{index_dir}/postings")
+        .withColumn("th", FF.xxhash64("term"))
+        .collect()
     }
     rebuilt = {}
     for r in spark.read.parquet(f"{index_dir}/posting_blocks").collect():
@@ -72,7 +76,7 @@ def test_blocks_roundtrip_and_blockmax(spark, index_dir):
         assert (np.diff(docs) > 0).all()  # strictly increasing in block
         assert int(tfs.max()) <= r.block_max_tf
         for d, tf, dl in zip(docs, tfs, dls):
-            rebuilt[(r.term, int(d))] = (int(tf), int(dl))
+            rebuilt[(r.term_hash, int(d))] = (int(tf), int(dl))
     assert rebuilt == posts
 
 
@@ -102,7 +106,7 @@ def test_resume_identical(spark, corpus_dir, tmp_path):
     assert chk(f"{broken}/postings") == chk(f"{clean}/postings")
     bchk = lambda p: (
         spark.read.parquet(p)
-        .select(F.expr("bit_xor(xxhash64(term, shard, block_id, first_doc_id, n_docs, doc_gaps, tfs, dls))"))
+        .select(F.expr("bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, doc_gaps, tfs, dls))"))
         .collect()[0][0]
     )
     assert bchk(f"{broken}/posting_blocks") == bchk(f"{clean}/posting_blocks")
