@@ -323,6 +323,9 @@ def _events_oracles() -> dict[str, str]:
 
 
 def _event_logline(ev: DataFrame) -> DataFrame:
+    from data_prepper_spark.util import spread
+
+    ev = spread(ev)
     ip = F.format_string(
         "10.%d.%d.%d",
         F.col("user_id") % 200,

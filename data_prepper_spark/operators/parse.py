@@ -97,18 +97,35 @@ def grok(
     ``tags`` array column, mirroring event-tagging semantics.
     """
     gate = F.expr(when) if when else F.lit(True)
+    sep = "\x1e"  # record separator; capture values must not contain it
+    tmp_cols: list[str] = []
     for source, patterns in match.items():
-        # break_on_match: coalesce over per-pattern extraction chains
+        # break_on_match: coalesce over per-pattern extraction chains.
+        # Single-pass extraction: ONE regexp_replace packs every capture
+        # group into a sep-joined string ("$1<sep>$2..."), then a cheap
+        # split feeds all fields — 2 regex executions per (row, pattern)
+        # (rlike + packed replace) instead of 1 + n_captures. The packed
+        # array is materialized as its own column so each field reference
+        # is an attribute read, not a re-inlined regex tree.
         alts = [grok_expand(p, pattern_definitions) for p in patterns]
         matched = F.lit(False)
         cols: dict[str, Column] = {}
-        for rx, flds in alts:
+        for pi, (rx, flds) in enumerate(alts):
             m = F.col(source).rlike(rx)
-            for i, fld in enumerate(flds):
-                ext = F.regexp_extract(F.col(source), rx, i + 1)
-                prev = cols.get(fld)
-                cur = F.when(m & ~matched, ext)
-                cols[fld] = F.coalesce(prev, cur) if prev is not None else cur
+            if flds:
+                rep = sep.join(f"${i + 1}" for i in range(len(flds)))
+                packed = F.regexp_replace(
+                    F.col(source), "(?s)^.*?(?:" + rx + ").*$", rep
+                )
+                arr_name = f"__grok_{source}_{pi}"
+                tmp_cols.append(arr_name)
+                df = df.withColumn(arr_name, F.split(packed, sep))
+                arr = F.col(arr_name)
+                for i, fld in enumerate(flds):
+                    ext = F.element_at(arr, i + 1)
+                    prev = cols.get(fld)
+                    cur = F.when(m & ~matched, ext)
+                    cols[fld] = F.coalesce(prev, cur) if prev is not None else cur
             matched = matched | m
         if not keep_empty_captures:
             cols = {k: F.when(v != "", v) for k, v in cols.items()}
@@ -126,7 +143,7 @@ def grok(
                 "tags",
                 F.when(gate & ~matched, F.concat(tags, F.array(*[F.lit(t) for t in tags_on_match_failure]))).otherwise(tags),
             )
-    return df
+    return df.drop(*tmp_cols)
 
 
 # ----------------------------------------------------------- key_value ----
