@@ -96,6 +96,15 @@ def main() -> None:
     p50 = warm[len(warm) // 2]
     p95 = warm[min(len(warm) - 1, int(round(0.95 * (len(warm) - 1))))]
     timings["ft_wand_query_avg"] = round(sum(warm) / len(warm), 3)
+
+    # batched path: all queries in ONE job (search-tier request batching)
+    qmap = {f"q{i}": q for i, q in enumerate(WAND_QUERIES)}
+    engine.topk_batch(qmap, 10).collect()  # warm
+    t0 = time.time()
+    engine.topk_batch(qmap, 10).collect()
+    batch_sec = time.time() - t0
+    timings["ft_wand_batch"] = round(batch_sec, 3)
+    batch_per_query_ms = round(batch_sec * 1000 / len(WAND_QUERIES), 1)
     engine.close()
 
     # ---- headline queries
@@ -117,6 +126,7 @@ def main() -> None:
                 "n_docs_indexed": n_docs,
                 "query_p50_ms": round(p50 * 1000, 1),
                 "query_p95_ms": round(p95 * 1000, 1),
+                "query_batched_ms_per_query": batch_per_query_ms,
             }
         )
     )

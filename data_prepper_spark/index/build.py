@@ -260,17 +260,31 @@ def build_index(
         base = docs_df(spark.read.parquet(*fl))
         posts = postings_from_docs(base, n_shards)
         # per-unit dirs make the commit idempotent under overwrite; counters
-        # ride the write jobs as Observation metrics — no extra count jobs
+        # ride the write jobs as Observation metrics — no extra count jobs.
+        # The two writes are independent jobs over the same source; running
+        # them concurrently lets the scheduler fill each other's stage
+        # gaps (tail tasks, commit barriers) — same total work, less wall
         obs_docs, obs_posts = Observation(), Observation()
         docs_out = base.drop("tokens").observe(
             obs_docs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("dl_sum")
         )
-        docs_out.write.mode("overwrite").parquet(io.path(f"docs/unit={u}"))
-        posts.observe(obs_posts, F.count(F.lit(1)).alias("n")).repartition(
-            "shard"
-        ).sortWithinPartitions("term", "doc_id").write.mode("overwrite").partitionBy(
-            "shard"
-        ).parquet(io.path(f"postings/unit={u}"))
+
+        def _write_docs():
+            docs_out.write.mode("overwrite").parquet(io.path(f"docs/unit={u}"))
+
+        def _write_posts():
+            posts.observe(obs_posts, F.count(F.lit(1)).alias("n")).repartition(
+                "shard"
+            ).sortWithinPartitions("term", "doc_id").write.mode("overwrite").partitionBy(
+                "shard"
+            ).parquet(io.path(f"postings/unit={u}"))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            f1, f2 = pool.submit(_write_docs), pool.submit(_write_posts)
+            f1.result()
+            f2.result()
         n_docs = int(obs_docs.get["n"])
         n_posts = int(obs_posts.get["n"])
         _ledger_append(

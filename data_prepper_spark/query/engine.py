@@ -115,6 +115,72 @@ class IndexQueryEngine:
         w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
         return topk.select(w.alias("rank"), "doc_id", "score")
 
+    def topk_batch(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Evaluate MANY queries in ONE Spark job: (query_id string,
+        rank int, doc_id long, score double).
+
+        The blocks scan filters on the union of all query-term hashes and
+        each shard partition runs WAND once per query over its (already
+        grouped) blocks — per-query latency amortizes the job's fixed
+        scheduling cost, the way a search tier batches its request queue.
+        Results are rank-identical to per-query ``topk``.
+        """
+        per_q: dict[str, dict[int, dict]] = {}
+        all_hashes: set[int] = set()
+        for qid, text in queries.items():
+            terms = sorted(set(tokenize_py(text)))
+            tstats = self._term_stats(terms)
+            hstats = {s["hash"]: s for s in tstats.values()}
+            per_q[qid] = hstats
+            all_hashes.update(hstats)
+        empty = "query_id string, rank int, doc_id long, score double"
+        if not all_hashes:
+            return self.spark.createDataFrame([], empty)
+        avgdl, n = self.avgdl, k
+
+        import pandas as pd
+
+        def per_shard(pdfs):
+            buf: dict[int, list[pd.DataFrame]] = {}
+            for pdf in pdfs:
+                for s, grp in pdf.groupby("shard"):
+                    buf.setdefault(int(s), []).append(grp)
+            rows = []
+            for s, parts in buf.items():
+                shard_df = pd.concat(parts)
+                for qid, hstats in per_q.items():
+                    if not hstats:
+                        continue
+                    sub = shard_df[shard_df["term_hash"].isin(list(hstats))]
+                    if len(sub) == 0:
+                        continue
+                    for doc_id, score in _wand_shard(sub, hstats, avgdl, n):
+                        rows.append((qid, doc_id, score))
+            yield (
+                pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+                if rows
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="object"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "score": pd.Series(dtype="float64"),
+                    }
+                )
+            )
+
+        filtered = self.blocks.where(F.col("term_hash").isin(list(all_hashes)))
+        if not self._prepartitioned:
+            filtered = filtered.repartition(self.shard_partitions, "shard")
+        local = filtered.mapInPandas(per_shard, "query_id string, doc_id long, score double")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def close(self) -> None:
         try:
             self.blocks.unpersist()
