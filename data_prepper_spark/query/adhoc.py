@@ -1,10 +1,13 @@
 """Ad-hoc BM25 over any (id, text) DataFrame — no persisted index.
 
-One shot: tokenize -> postings (partial-agg groupBy) -> broadcast per-term
-idf -> score -> top-k. Used by the driver-contract queries over the
-``documents`` table and by ``entry()``. The persisted-index paths
-(query/bm25.py, query/wand.py) are the scale path; this is the "query a
-table I haven't indexed yet" path, still fully JVM-side.
+One shot, fully lazy: tokenize -> postings (partial-agg groupBy) ->
+broadcast per-term df + broadcast corpus stats -> score -> top-k. No
+driver-side collect happens until the caller acts, so the whole query is
+a single action (Spark runs the two tiny broadcast jobs as part of it).
+Used by the driver-contract queries over the ``documents`` table and by
+``entry()``. The persisted-index paths (query/bm25.py, query/wand.py)
+are the scale path; this is the "query a table I haven't indexed yet"
+path, still fully JVM-side.
 """
 
 from __future__ import annotations
@@ -29,14 +32,15 @@ def bm25_topk_adhoc(
     """Returns (rank int, doc_id long, score double)."""
     spark = df.sparkSession
     terms = sorted(set(tokenize_py(query_text)))
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
     base = df.select(
         F.col(id_col).cast("long").alias("doc_id"), tokens_col(text_col).alias("toks")
     )
     base = spread(base).withColumn("dl", F.size("toks"))
-    stats = base.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n, avgdl = int(stats["n"]), float(stats["avgdl"])
-    if not terms or n == 0:
-        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
     posts = (
         base.select("doc_id", "dl", F.explode("toks").alias("term"))
         .where(F.col("term").isin(terms))
@@ -44,14 +48,17 @@ def bm25_topk_adhoc(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     tdf = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    scored = posts.join(F.broadcast(tdf.withColumn("idf", idf)), "term").select(
-        "doc_id",
-        (
-            F.col("idf")
-            * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl))
-        ).alias("s"),
+    scored = (
+        posts.join(F.broadcast(tdf), "term")
+        .join(F.broadcast(stats))  # 1-row cross join carrying n/avgdl
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (K1 + 1))
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
     )
     topk = (
         scored.groupBy("doc_id")
