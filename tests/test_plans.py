@@ -1,0 +1,85 @@
+"""Physical-plan guards: the optimizations the engine depends on must be
+visible in `explain` output — filter pushdown to parquet, broadcast
+joins for small dimensions, whole-stage codegen on the hot paths. These
+are regression tests for plan shape, not results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+import contextlib
+import io
+
+
+def _capture(df, mode) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _plan(df) -> str:
+    return _capture(df, True)
+
+
+def _formatted(df) -> str:
+    return _capture(df, "formatted")
+
+
+def test_dictionary_lookup_pushdown(spark, index_dir):
+    dic = spark.read.parquet(f"{index_dir}/dictionary").where(
+        F.col("term").isin(["parse", "buffer"])
+    )
+    s = _formatted(dic)
+    assert "PushedFilters" in s and "term" in s.split("PushedFilters")[1][:200]
+
+
+def test_blocks_scan_pushdown_on_term_hash(spark, index_dir):
+    blocks = spark.read.parquet(f"{index_dir}/posting_blocks").where(
+        F.col("term_hash").isin([123, 456])
+    )
+    s = _formatted(blocks)
+    assert "PushedFilters" in s and "term_hash" in s.split("PushedFilters")[1][:300]
+
+
+def test_docs_projection_prunes_columns(spark, index_dir):
+    docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "doc_len")
+    s = _formatted(docs)
+    read_schema = s.split("ReadSchema")[1][:200]
+    assert "doc_id" in read_schema and "content_sha256" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    big = spark.range(0, 100000).select(
+        F.col("id"), (F.col("id") % 100).alias("k")
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    joined = big.join(dim, "k")
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_tokenizer_stays_in_codegen(spark, corpus_dir):
+    from data_prepper_spark.analyzer import tokens_col
+
+    df = spark.read.parquet(corpus_dir).select(F.size(tokens_col("content")))
+    phys = _plan(df).split("== Physical Plan ==")[1]
+    # `*(n)` prefixes mark whole-stage-codegen'd operators
+    assert "*(1) Project" in phys, phys
+
+
+def test_no_row_at_a_time_python_udf_in_package():
+    """Vectorized-only discipline (SURVEY §7.2): no `F.udf(` / `@udf` row
+    UDFs anywhere in the package — pandas/Arrow kernels only."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "data_prepper_spark"
+    bad = []
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        if re.search(r"(?<!pandas_)\budf\s*\(", src.replace("applyInPandas", "")):
+            bad.append(str(py))
+    assert not bad, bad
