@@ -121,8 +121,8 @@ from scored order by score desc, doc_id asc limit {k}
             select term, count(distinct doc_id) as df, count(*) as cf
             from (select doc_id, unnest(toks) as term from ({base})) group by term""",
         "ft_corpus_stats": f"""
-            select count(*) as n_docs, round(avg(len(toks)), 6) as avgdl,
-                   sum(len(toks)) as total_tokens from ({base})""",
+            select cast(count(*) as bigint) as n_docs, round(avg(len(toks)), 6) as avgdl,
+                   cast(sum(len(toks)) as bigint) as total_tokens from ({base})""",
         "ft_postings": f"""
             select term, doc_id, count(*) as tf
             from (select doc_id, unnest(toks) as term from ({base}))
@@ -295,9 +295,9 @@ def _events_oracles() -> dict[str, str]:
             qualify row_number() over (partition by user_id, event_type
                                        order by ts asc, event_id asc) = 1""",
         "events_route_counts": """
-            select sum(case when event_type = 'error' then 1 else 0 end) as errors,
-                   sum(case when value >= 400 then 1 else 0 end) as high_value,
-                   sum(case when event_type in ('click','view') then 1 else 0 end) as clicks_or_views
+            select cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as errors,
+                   cast(sum(case when value >= 400 then 1 else 0 end) as bigint) as high_value,
+                   cast(sum(case when event_type in ('click','view') then 1 else 0 end) as bigint) as clicks_or_views
             from events""",
         "events_mutate_chain": """
             select event_id, event_type || ':' || cast(user_id as varchar) as label,
@@ -554,8 +554,17 @@ def q_agg_put_all(spark, sf_dir):
 
 
 def q_agg_append(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").withColumn("rv", F.round("value", 4))
-    return agg_ops.append(ev, ["user_id", "event_type"], ["rv"])
+    # values scaled to integer 1e-4 units, and the collected array serialized
+    # to a csv string: the driver's canonicalizer can't hash array cells
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "rv", F.round(F.col("value") * 10000, 0).cast("long")
+    )
+    out = agg_ops.append(ev, ["user_id", "event_type"], ["rv"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.concat_ws(",", F.col("rv").cast("array<string>")).alias("rv"),
+    )
 
 
 def q_agg_percent_sampler(spark, sf_dir):
@@ -698,10 +707,12 @@ def q_otel_histogram(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     out = histogram_buckets(ev, ["event_type"], "value", HIST_BOUNDS)
+    # arrays serialized to csv strings: the driver's canonicalizer can't
+    # hash array cells (round-1 red row)
     return out.select(
         "event_type",
-        "bucketCounts",
-        "explicitBounds",
+        F.concat_ws(",", F.col("bucketCounts").cast("array<string>")).alias("bucketCounts"),
+        F.concat_ws(",", F.col("explicitBounds").cast("array<string>")).alias("explicitBounds"),
         F.round("min", 4).alias("min"),
         F.round("max", 4).alias("max"),
         F.round("sum", 4).alias("sum"),
@@ -771,7 +782,8 @@ def _extra_oracles() -> dict[str, str]:
             select user_id, event_type, event_id, ts from events
             qualify row_number() over (partition by user_id order by ts desc, event_id desc) = 1""",
         "agg_append": """
-            select user_id, event_type, list_sort(list(round(value, 4))) as rv
+            select user_id, event_type,
+                   array_to_string(list_sort(list(cast(round(value * 10000) as bigint))), ',') as rv
             from events group by user_id, event_type""",
         "agg_percent_sampler": """
             with r as (select event_id, event_type,
@@ -845,17 +857,17 @@ def _extra_oracles() -> dict[str, str]:
             where case etype_u when 'CLICK' then 'ui' when 'VIEW' then 'ui'
                        when 'ERROR' then 'ops' else 'other' end = 'ui'
               and value >= 400""",
-        "otel_histogram": """
+        "otel_histogram": f"""
             select event_type,
-                   list_value(
-                     sum(case when value <= 0 then 1 else 0 end),
-                     sum(case when value > 0 and value <= 50 then 1 else 0 end),
-                     sum(case when value > 50 and value <= 100 then 1 else 0 end),
-                     sum(case when value > 100 and value <= 250 then 1 else 0 end),
-                     sum(case when value > 250 and value <= 400 then 1 else 0 end),
-                     sum(case when value > 400 then 1 else 0 end)
-                   ) as bucketCounts,
-                   [0.0, 50.0, 100.0, 250.0, 400.0]::DOUBLE[] as explicitBounds,
+                   array_to_string(list_value(
+                     cast(sum(case when value <= 0 then 1 else 0 end) as bigint),
+                     cast(sum(case when value > 0 and value <= 50 then 1 else 0 end) as bigint),
+                     cast(sum(case when value > 50 and value <= 100 then 1 else 0 end) as bigint),
+                     cast(sum(case when value > 100 and value <= 250 then 1 else 0 end) as bigint),
+                     cast(sum(case when value > 250 and value <= 400 then 1 else 0 end) as bigint),
+                     cast(sum(case when value > 400 then 1 else 0 end) as bigint)
+                   ), ',') as bucketCounts,
+                   '{",".join(str(float(b)) for b in HIST_BOUNDS)}' as explicitBounds,
                    round(min(value), 4) as min, round(max(value), 4) as max,
                    round(sum(value), 4) as sum, count(*) as count
             from events group by event_type""",
