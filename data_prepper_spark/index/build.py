@@ -56,8 +56,11 @@ CODE_VERSION = "dps-0.1"
 # block encoder and the WAND kernel then touch only fixed-width int64
 # columns (no per-posting Python string objects across the Arrow boundary
 # — measured as the stage-B scaling bottleneck), and the dictionary maps
-# term -> term_hash for query-time lookup. 64-bit collisions are ~1e-19
-# at design vocabulary sizes.
+# term -> term_hash for query-time lookup. A collision would silently
+# merge two terms' postings; the birthday bound is p ~ n^2 / 2^65 — ~3e-3
+# at 10^8 unique terms, ~0.3 at 10^9 — so build_index detects collisions
+# at dictionary-build time (term_hash with >1 distinct term) and fails
+# loudly instead of corrupting results.
 BLOCKS_SCHEMA = (
     "term_hash long, shard int, block_id int, first_doc_id long, n_docs int, "
     "doc_gaps binary, tfs binary, dls binary, block_max_tf int, block_max_wtf double"
@@ -173,6 +176,16 @@ def blocks_from_postings(postings: DataFrame, avgdl: float, block_size: int = 12
     )
 
 
+def hash_collisions(dic: DataFrame) -> DataFrame:
+    """term_hash values claimed by more than one distinct term (should be
+    empty; see the BLOCKS_SCHEMA comment for the birthday-bound math)."""
+    return (
+        dic.groupBy("term_hash")
+        .agg(F.count_distinct("term").alias("n_terms"))
+        .where("n_terms > 1")
+    )
+
+
 def dictionary_from_postings(postings: DataFrame) -> DataFrame:
     """term -> df, cf, max_wtf-input stats. Partial agg absorbs Zipf skew."""
     return postings.groupBy("term").agg(
@@ -241,10 +254,25 @@ def _ledger_rows(io: TableIO, spark: SparkSession):
     return [r.asDict() for r in io.read(spark, "build_ledger").collect()]
 
 
+def _ledger_latest(io: TableIO, spark: SparkSession) -> list[dict]:
+    """Latest ledger row per (stage, unit_id) by updated_at.
+
+    The ledger is append-only; a crashed-then-retried unit can leave more
+    than one row for the same unit, and rollups (n_docs/avgdl) must count
+    each unit exactly once."""
+    latest: dict[tuple[str, int], dict] = {}
+    for r in _ledger_rows(io, spark):
+        key = (r["stage"], r["unit_id"])
+        cur = latest.get(key)
+        if cur is None or r["updated_at"] >= cur["updated_at"]:
+            latest[key] = r
+    return list(latest.values())
+
+
 def _ledger_done(io: TableIO, spark: SparkSession) -> set[tuple[str, int]]:
     return {
         (r["stage"], r["unit_id"])
-        for r in _ledger_rows(io, spark)
+        for r in _ledger_latest(io, spark)
         if r["state"] == "done"
     }
 
@@ -278,6 +306,15 @@ def build_index(
         _t0 = _time.time()
 
     io = TableIO(out_dir)
+    if not resume:
+        # fresh build into a possibly-dirty out_dir: the ledger is append-
+        # only, so stale 'done' rows would double-count n_docs/avgdl in the
+        # corpus-stats rollup, and stale unit dirs from a previous build
+        # with a different `units`/`shard_groups` layout would be picked up
+        # by the recursive postings/blocks reads
+        for tbl in ("build_ledger", "docs", "postings", "posting_blocks",
+                    "corpus_stats", "dictionary"):
+            io.drop(spark, tbl)
     done = _ledger_done(io, spark) if resume else set()
 
     # ---- stage A: tokenize + shard-partitioned posting runs, per file unit
@@ -339,7 +376,7 @@ def build_index(
     # corpus stats roll up from the per-unit ledger counters (captured as
     # Observation metrics on the write jobs) — no extra scan of the docs
     # table; resume-safe because the ledger is durable per unit
-    arows = [r for r in _ledger_rows(io, spark) if r["stage"] == "A" and r["state"] == "done"]
+    arows = [r for r in _ledger_latest(io, spark) if r["stage"] == "A" and r["state"] == "done"]
     n_docs = sum(int(r["docs_tokenized"]) for r in arows)
     dl_sum = sum(int(r["doc_len_sum"]) for r in arows)
     avgdl = dl_sum / max(n_docs, 1)
@@ -396,6 +433,15 @@ def build_index(
     # RE-EXECUTES the whole dictionary aggregation — not worth it; at
     # design scale bump 8 -> O(shards) partitions.
     io.write(dic.repartition(8, "term").sortWithinPartitions("term"), "dictionary")
+    # collision gate on the WRITTEN table (a 2-column scan — re-checking the
+    # unmaterialized dic would re-run the whole aggregation): a term_hash
+    # shared by two terms would silently merge their postings at query time
+    collided = hash_collisions(io.read(spark, "dictionary")).limit(1).collect()
+    if collided:
+        raise RuntimeError(
+            f"xxhash64 term collision detected (term_hash={collided[0]['term_hash']}); "
+            "index is unusable — rebuild with a wider term key"
+        )
     _mark("dictionary")
 
     return BuildResult(out_dir, n_docs, avgdl, n_shards)

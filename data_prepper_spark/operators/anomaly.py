@@ -57,13 +57,23 @@ def rcf_anomalies(
     """Per-group quantile-isolation anomalies via applyInPandas.
 
     Cardinality cap mirrors the reference's bounded forest map
-    (AnomalyDetectorProcessor.java:72-90): groups beyond ``max_groups``
-    (by hash order) are passed through un-scored.
+    (AnomalyDetectorProcessor.java:72-90): only the ``max_groups`` groups
+    with the smallest key hashes are scored; rows of every other group
+    pass through with ``grade`` null. The threshold hash is found with a
+    distributed distinct + TakeOrdered (max_groups rows to the driver's
+    1-row agg), so the cap is exact and deterministic — not a
+    probabilistic hash-range gate.
     """
     import pandas as pd
 
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     keys = list(identification_keys)
-    out_schema = df.schema.add("grade", "double")
+    # copy, don't .add(): StructType.add mutates in place, and df.schema is
+    # the DataFrame's CACHED schema object — mutating it corrupts every
+    # later use of this df (a second rcf_anomalies call would see a
+    # phantom 'grade' column)
+    out_schema = StructType(list(df.schema.fields) + [StructField("grade", DoubleType())])
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value_key].astype(float)
@@ -74,7 +84,21 @@ def rcf_anomalies(
         res["grade"] = grade
         return res[res["grade"] > 0]
 
-    capped = df.withColumn(
-        "__gh", F.abs(F.xxhash64(*keys)) % (2 * max_groups)
-    ).drop("__gh")
-    return capped.groupBy(*keys).applyInPandas(score, out_schema)
+    gh = F.xxhash64(*keys)
+    threshold_row = (
+        df.select(*keys).distinct().select(gh.alias("__gh"))
+        .orderBy("__gh").limit(max_groups)
+        .agg(F.max("__gh").alias("th"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    if threshold_row["n"] is None or threshold_row["n"] < max_groups:
+        return df.groupBy(*keys).applyInPandas(score, out_schema)
+    scored = (
+        df.where(gh <= threshold_row["th"])
+        .groupBy(*keys)
+        .applyInPandas(score, out_schema)
+    )
+    passthrough = df.where(gh > threshold_row["th"]).withColumn(
+        "grade", F.lit(None).cast("double")
+    )
+    return scored.unionByName(passthrough)

@@ -121,8 +121,15 @@ def grok(
                 tmp_cols.append(arr_name)
                 df = df.withColumn(arr_name, F.split(packed, sep))
                 arr = F.col(arr_name)
+                # packed extraction would silently shift every field of a
+                # row whose *captured values* contain the \x1e sentinel;
+                # such rows (vanishingly rare in log data) fall back to
+                # per-capture regexp_extract, which has no sentinel at all
+                has_sep = F.col(source).contains(sep)
                 for i, fld in enumerate(flds):
-                    ext = F.element_at(arr, i + 1)
+                    ext = F.when(
+                        has_sep, F.regexp_extract(F.col(source), rx, i + 1)
+                    ).otherwise(F.element_at(arr, i + 1))
                     prev = cols.get(fld)
                     cur = F.when(m & ~matched, ext)
                     cols[fld] = F.coalesce(prev, cur) if prev is not None else cur

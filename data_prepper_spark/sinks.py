@@ -53,15 +53,17 @@ def write_with_quarantine(
 ) -> tuple[int, int]:
     """DLQ analog: rows failing ``valid_when`` land in a quarantine table
     with a reason column; returns (delivered, quarantined) counts."""
+    from pyspark.sql import Observation
+
     cond = F.expr(valid_when)
     good = df.where(cond)
     bad = df.where(~F.coalesce(cond, F.lit(False))).withColumn(
         "dlq_reason", F.lit(f"failed: {valid_when}")
     )
-    write_sink(good, path, codec)
-    write_sink(bad, quarantine_path, codec)
-    spark = df.sparkSession
-    return (
-        spark.read.parquet(path).count(),
-        spark.read.parquet(quarantine_path).count(),
-    )
+    # counters ride the write jobs as Observation metrics — codec-agnostic
+    # and no read-back jobs (re-reading with spark.read.parquet broke for
+    # csv/json sinks and cost two extra scans)
+    obs_good, obs_bad = Observation(), Observation()
+    write_sink(good.observe(obs_good, F.count(F.lit(1)).alias("n")), path, codec)
+    write_sink(bad.observe(obs_bad, F.count(F.lit(1)).alias("n")), quarantine_path, codec)
+    return int(obs_good.get["n"]), int(obs_bad.get["n"])

@@ -46,3 +46,12 @@ class TableIO:
         if self.catalog == "iceberg":
             return spark.table(f"dps.{name.replace('/', '_')}")
         return spark.read.parquet(self.path(name))
+
+    def drop(self, spark: SparkSession | None, name: str) -> None:
+        if self.catalog == "iceberg":
+            assert spark is not None
+            spark.sql(f"drop table if exists dps.{name.replace('/', '_')}")
+            return
+        import shutil
+
+        shutil.rmtree(self.path(name), ignore_errors=True)
