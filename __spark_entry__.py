@@ -418,9 +418,13 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+JACCARD_DF_CUTOFF = 100  # shingles in >100 docs are dropped (prefix filtering)
+
+
 def q_dedup_jaccard_pairs(spark, sf_dir):
     pairs = dedupe.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5, shingle_n=1
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5, shingle_n=1,
+        max_shingle_df=JACCARD_DF_CUTOFF,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -431,8 +435,33 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_minhash_verified_pairs(spark, sf_dir):
+    """LSH candidates + exact-Jaccard verification: with 16 bands of 2 rows
+    the miss probability at s=0.8 is (1-0.8^2)^16 ~ 8e-8, so the verified
+    output equals the exact-Jaccard answer the DuckDB oracle computes."""
+    pairs = dedupe.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        num_perm=32, bands=16, shingle_n=2, verify_threshold=0.8,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_simhash(spark, sf_dir):
-    return dedupe.simhash64(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """Oracle-recomputable signature: md5-derived 60-bit token hash (DuckDB
+    recomputes the identical simhash in SQL)."""
+    return dedupe.simhash64(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=60, token_hash=dedupe.md5_hash60,
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Pigeonhole-blocked Hamming matches; the oracle cross-joins the
+    recomputed signatures, so this also proves the blocking is exact."""
+    return dedupe.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_hamming=3, bits=60, token_hash=dedupe.md5_hash60,
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -464,8 +493,53 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = list(emb.where("vec_id = 0").select("embedding").collect()[0][0])
-    bucketed = similarity.lsh_bucketed(emb, "embedding", "vec_id", dim=64, n_planes=6)
-    return similarity.lsh_topk(bucketed, qvec, dim=64, k=10, n_planes=6)
+    bucketed = similarity.lsh_bucketed(
+        emb, "embedding", "vec_id", dim=64, n_planes=6, n_tables=2
+    )
+    return similarity.lsh_topk(
+        bucketed, qvec, dim=64, k=10, n_planes=6, probe_hamming=1, n_tables=2
+    )
+
+
+def _duckdb_bigrams(toks: str) -> str:
+    """DuckDB bigram shingle strings matching shingles(n=2): concat of 2
+    consecutive tokens, one shingle even for 0/1-token docs (coalesce '')."""
+    return (
+        f"list_distinct(list_transform(range(greatest(len({toks}) - 1, 1)), "
+        f"i -> coalesce({toks}[i+1], '') || coalesce({toks}[i+2], '')))"
+    )
+
+
+def _jaccard2_oracle(toks: str, threshold: float) -> str:
+    """Exact bigram-Jaccard pairs >= threshold (oracle for the verified
+    minhash path — LSH miss probability at the threshold is ~1e-7)."""
+    return f"""
+with tk as (select doc_id, {toks} as toks from documents),
+sh as (select doc_id as id, unnest({_duckdb_bigrams('toks')}) as sh from tk),
+sizes as (select id, count(*) as sz from sh group by id),
+common as (
+  select l.id as id_a, r.id as id_b, count(*) as c
+  from sh l join sh r on l.sh = r.sh and l.id < r.id
+  group by l.id, r.id)
+select id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) as jaccard
+from common join sizes sa on sa.id = id_a join sizes sb on sb.id = id_b
+where c / (sa.sz + sb.sz - c) >= {threshold}"""
+
+
+def _simhash60_sig_sql(toks: str) -> str:
+    """Recompute the md5-60-bit simhash signature per doc in DuckDB."""
+    h = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    bit_sums = ", ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then w else -w end) as b{b}" for b in range(60)
+    )
+    sig_expr = " + ".join(
+        f"(case when b{b} > 0 then (1::BIGINT << {b}) else 0::BIGINT end)" for b in range(60)
+    )
+    return f"""
+tk as (select doc_id as id, unnest({toks}) as tok from documents),
+w as (select id, tok, count(*) as w, {h} as h from tk group by id, tok),
+bs as (select id, {bit_sums} from w group by id),
+sig as (select id, cast({sig_expr} as bigint) as simhash from bs)"""
 
 
 def _textops_oracles() -> dict[str, str]:
@@ -485,8 +559,11 @@ def _textops_oracles() -> dict[str, str]:
             select min(doc_id) as keep_id, count(*) as dup_count
             from documents group by md5(text)""",
         "dedup_jaccard_pairs": f"""
-            with sh as (select distinct doc_id as id, term as sh
-                        from (select doc_id, unnest({toks}) as term from documents)),
+            with sh0 as (select distinct doc_id as id, term as sh
+                         from (select doc_id, unnest({toks}) as term from documents)),
+            dfreq as (select sh, count(*) as df from sh0 group by sh),
+            sh as (select id, s.sh from sh0 s join dfreq using(sh)
+                   where df <= {JACCARD_DF_CUTOFF}),
             sizes as (select id, count(*) as sz from sh group by id),
             common as (
               select l.id as id_a, r.id as id_b, count(*) as c
@@ -495,6 +572,16 @@ def _textops_oracles() -> dict[str, str]:
             select id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) as jaccard
             from common join sizes sa on sa.id = id_a join sizes sb on sb.id = id_b
             where c / (sa.sz + sb.sz - c) >= 0.5""",
+        "minhash_verified_pairs": _jaccard2_oracle(toks, 0.8),
+        "simhash": f"""
+            with {_simhash60_sig_sql(toks)}
+            select id, simhash from sig""",
+        "simhash_pairs": f"""
+            with {_simhash60_sig_sql(toks)}
+            select a.id as id_a, b.id as id_b,
+                   cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+            from sig a join sig b on a.id < b.id
+            where bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "text_quality": f"""
             with t as (select doc_id, text, {toks} as toks from documents)
             select doc_id as id,
@@ -911,7 +998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint,
@@ -944,6 +1033,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(_roundtrip_oracles())
     out.update(_textops_oracles())
     out.update(_extra_oracles())
-    # minhash_lsh_pairs / simhash / ann_lsh_topk: engine-hash-dependent
-    # (xxhash64 / signed projections) — driver records rows-only checks.
+    # minhash_lsh_pairs (raw candidates) / ann_lsh_topk: engine-hash-
+    # dependent (xxhash64 minhash perms / signed projections) — driver
+    # records rows-only checks. Their verified/exact siblings
+    # (minhash_verified_pairs, ann_cosine_topk) are fully oracle-checked,
+    # and simhash/simhash_pairs are oracle-checked via the md5-60-bit
+    # signature DuckDB recomputes.
     return out

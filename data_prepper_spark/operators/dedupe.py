@@ -12,14 +12,25 @@ Scale notes:
   computes per-permutation mins map-side); candidate pairs come from a
   self-join on (band_id, band_hash) — the join key is the LSH bucket, so
   the shuffle is tiny compared to an all-pairs cross join. Verification
-  joins token sets only for candidates.
-- simhash: 64 conditional sums per doc (one groupBy), Hamming-ball match
-  via 4-segment pigeonhole blocking (any 16-bit segment equal -> candidate).
+  (``verify_threshold``) joins shingle sets only for candidates and
+  computes the exact Jaccard, so the output is deterministic given the
+  candidate set.
+- exact jaccard: inverted-index self-join with an optional
+  ``max_shingle_df`` cutoff (prefix-filter style): a Zipf-hot shingle
+  ("the" at shingle_n=1) otherwise creates a near-quadratic join group —
+  the one deterministic skew-killer AQE can't split.
+- simhash: 64 conditional sums per doc (one groupBy); Hamming matching
+  via (h+1)-segment pigeonhole blocking — any pair within Hamming
+  distance h agrees exactly on at least one of h+1 disjoint bit
+  segments, so a per-segment equi-join finds every such pair without an
+  all-pairs comparison.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..analyzer import tokens_col
@@ -76,6 +87,30 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for given (id_a, id_b) pairs over shingle sets ``sh``.
+
+    Joins shingles only for the candidate ids (two hash joins keyed on id),
+    never all-pairs — candidate cardinality, not corpus size, drives cost.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str,
@@ -83,8 +118,19 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded minhash LSH."""
+    """Near-dup pairs (id_a < id_b) via banded minhash LSH.
+
+    Without ``verify_threshold``: raw candidate pairs (may contain false
+    positives; recall is governed by the (num_perm, bands) s-curve).
+    With it: candidates are verified with the exact Jaccard over their
+    shingle sets and only pairs >= threshold survive — false positives
+    are eliminated entirely, so with a band configuration whose miss
+    probability at the threshold is negligible (e.g. num_perm=32,
+    bands=16: miss ~ (1 - s^2)^16 < 1e-7 at s = 0.8) the output equals
+    the exact-Jaccard answer.
+    """
     rows_per_band = num_perm // bands
     sh = shingles(df, content_col, id_col, shingle_n)
     sig = minhash_signatures(sh, num_perm)
@@ -109,7 +155,9 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    return pairs
+    if verify_threshold is None:
+        return pairs
+    return jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= verify_threshold)
 
 
 def jaccard_pairs(
@@ -118,13 +166,27 @@ def jaccard_pairs(
     id_col: str,
     threshold: float = 0.8,
     shingle_n: int = 1,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Inverted-index self-join (join on shingle, count common) — the standard
     scalable exact-Jaccard plan; pairs sharing no shingle never meet.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cutoff BEFORE the self-join (similarity is then over the surviving
+    discriminative shingles on both sides of the ratio). This is the
+    prefix-filtering idea from set-similarity joins (PPJoin family): a
+    single Zipf-hot shingle — df ~ 10^10 for "the" at 100 TB — otherwise
+    produces one df^2-row join group, which no AQE skew split can save
+    (it's a legitimate, not a mis-partitioned, key). With a cutoff c the
+    worst join group is c^2 rows, a constant. Callers needing full-set
+    semantics for hot-shingle-only pairs should use the minhash LSH path.
     """
     sh = shingles(df, content_col, id_col, shingle_n)
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(dfreq.where(F.col("__df") <= max_shingle_df), "sh").select("id", "sh")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         sh.alias("l")
@@ -142,24 +204,98 @@ def jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over token hashes weighted by tf: (id, simhash)."""
+def md5_hash60(c: Column) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — recomputable
+    in ANSI SQL (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT), which makes
+    simhash signatures oracle-checkable end to end."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    bits: int = 64,
+    token_hash: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """``bits``-wide SimHash over token hashes weighted by tf: (id, simhash).
+
+    Default token hash is xxhash64 (JVM-side, fastest); pass
+    ``token_hash=md5_hash60`` with ``bits=60`` for an oracle-recomputable
+    signature. One groupBy(id) with ``bits`` conditional sums — partial
+    aggregation keeps the exchange narrow."""
+    h = token_hash(F.col("t")) if token_hash is not None else F.xxhash64("t")
     toks = (
         spread(df.select(F.col(id_col).alias("id"), tokens_col(content_col).alias("__toks")))
         .select("id", F.explode("__toks").alias("t"))
         .groupBy("id", "t")
         .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", F.xxhash64("t"))
+        .withColumn("h", h)
     )
     bit_sums = toks.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(bits)
         ]
     )
     acc = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         acc = acc + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
     return bit_sums.select("id", acc.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    token_hash: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b, hamming) with simhash Hamming distance
+    <= max_hamming, via pigeonhole segment blocking.
+
+    The signature is split into ``max_hamming + 1`` disjoint bit segments;
+    a pair differing in at most max_hamming bits must agree EXACTLY on at
+    least one segment (pigeonhole), so a per-(segment, value) equi-join
+    finds every qualifying pair with no all-pairs comparison. The join key
+    is the segment value — near-uniform for simhash bits — so the shuffle
+    is balanced; the exact Hamming filter (bit_count of xor) then removes
+    false candidates.
+    """
+    n_seg = max_hamming + 1
+    assert bits % n_seg == 0, "bits must divide evenly into max_hamming+1 segments"
+    seg_bits = bits // n_seg
+    mask = (1 << seg_bits) - 1
+    sig = simhash64(df, content_col, id_col, bits=bits, token_hash=token_hash)
+    seg = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg"),
+                        F.shiftrightunsigned(F.col("simhash"), s * seg_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("sv"),
+                    )
+                    for s in range(n_seg)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.seg").alias("seg"), F.col("b.sv").alias("sv"))
+    return (
+        seg.alias("l")
+        .join(seg.alias("r"), ["seg", "sv"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -5,9 +5,12 @@ vector + one JVM-side aggregate expression per row (F.zip_with/aggregate),
 then TakeOrderedAndProject — no Python, no shuffle beyond the final top-k.
 
 The scale path is LSH bucketing (random signed projections): each vector
-hashes to a bucket; queries probe only matching buckets. At 100 TB the
-bucketed table is partitioned by bucket id, so a probe is a partition-
-pruned scan.
+hashes to a bucket; queries probe the query's own bucket plus every
+bucket within ``probe_hamming`` sign flips (multi-probe — near-boundary
+vectors land one flip away, so single-bucket probing loses exactly the
+nearest neighbors whose projections sit close to a hyperplane). Persist
+with ``write_bucketed`` (partitionBy bucket) and a probe becomes a
+partition-pruned scan of probed buckets only.
 """
 
 from __future__ import annotations
@@ -64,13 +67,79 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return signs.tolist()
 
 
-def lsh_bucketed(df: DataFrame, vec_col: str, id_col: str, dim: int, n_planes: int = 8) -> DataFrame:
-    """(id, bucket) via random signed projections — the ANN scale path."""
+def _bucket_col(vec_col: str, dim: int, n_planes: int, table: int) -> Column:
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, table * n_planes + p)])
         bucket = bucket + F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(2**p)).otherwise(0)
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"), F.col(vec_col).alias("vec"))
+    return bucket
+
+
+def lsh_bucketed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 1,
+) -> DataFrame:
+    """(id, table, bucket, vec) via random signed projections — the ANN
+    scale path. ``n_tables`` independent hash tables (disjoint plane sets)
+    trade n_tables x storage for union-of-probes recall: a neighbor is
+    missed only if it flips planes in EVERY table, so miss probability
+    decays exponentially in n_tables. One row per (vector, table)."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _bucket_col(vec_col, dim, n_planes, t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(tables).alias("tb"), F.col(vec_col).alias("vec")
+    ).select("id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"), "vec")
+
+
+def write_bucketed(bucketed: DataFrame, path: str) -> None:
+    """Persist the LSH table partitioned by (table, bucket) — probes then
+    read only the probed buckets' files (partition pruning), the move that
+    makes a query touch ~(probed/2^n_planes) of a 100 TB table."""
+    bucketed.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+
+
+def read_bucketed(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def probe_buckets(
+    query_vec: list[float],
+    dim: int,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    table: int = 0,
+) -> list[int]:
+    """The query's bucket in hash table ``table`` plus all buckets within
+    ``probe_hamming`` bit flips (multi-probe LSH: Lv et al., VLDB'07 —
+    perturbed buckets hold the near-boundary neighbors)."""
+    import itertools
+
+    import numpy as np
+
+    qb = 0
+    q = np.array(query_vec)
+    for p in range(n_planes):
+        if float(np.dot(q, np.array(_hyperplane(dim, table * n_planes + p)))) >= 0:
+            qb |= 1 << p
+    out = [qb]
+    for r in range(1, probe_hamming + 1):
+        for flips in itertools.combinations(range(n_planes), r):
+            b = qb
+            for f in flips:
+                b ^= 1 << f
+            out.append(b)
+    return out
 
 
 def lsh_topk(
@@ -79,19 +148,29 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    probe_hamming: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Probe the query's LSH bucket only (approximate; partition-prunable)."""
-    import numpy as np
+    """Top-k over the probed LSH buckets (approximate; partition-prunable).
 
-    qb = 0
-    q = np.array(query_vec)
-    for p in range(n_planes):
-        if float(np.dot(q, np.array(_hyperplane(dim, p)))) >= 0:
-            qb |= 1 << p
+    ``probe_hamming=0, n_tables=1`` reproduces single-bucket probing; the
+    defaults probe n_planes+1 buckets per table. Both knobs trade scan
+    fraction for recall: multi-probe rescues near-boundary neighbors,
+    extra tables rescue neighbors that flipped too many planes in one
+    table (miss probability decays exponentially in n_tables). The filter
+    is a per-table bucket IN-list, so against a ``write_bucketed`` table
+    the scan is partition-pruned to exactly the probed buckets.
+    """
+    cond = F.lit(False)
+    for t in range(n_tables):
+        buckets = probe_buckets(query_vec, dim, n_planes, probe_hamming, table=t)
+        cond = cond | ((F.col("table") == t) & F.col("bucket").isin(buckets))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.where(F.col("bucket") == qb)
-        .select("id", cosine_sim(F.col("vec"), qcol).alias("sim"))
+        bucketed.where(cond)
+        .groupBy("id")
+        .agg(F.first("vec").alias("vec"))
+        .select("id", cosine_sim(F.col("vec").cast("array<double>"), qcol).alias("sim"))
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(k)
     )
