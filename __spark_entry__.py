@@ -368,6 +368,57 @@ def q_kv_roundtrip(spark, sf_dir):
     )
 
 
+def q_kv_advanced(spark, sf_dir):
+    """key_value with regex delimiters, strict whitespace, key transform,
+    non_match_value and default_values (KeyValueProcessor.java:38-59)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "kv",
+        F.format_string("Type :%s; uid :%d; orphan", F.col("event_type"), F.col("user_id")),
+    )
+    ev = parse.key_value(
+        ev,
+        source="kv",
+        destination="m",
+        field_delimiter_regex=r";\s*",
+        key_value_delimiter_regex=":",
+        non_match_value="missing",
+        default_values={"env": "prod"},
+        whitespace="strict",
+        transform_key="lowercase",
+    )
+    return ev.select(
+        "event_id",
+        F.col("m")["type"].alias("type_val"),
+        F.col("m")["uid"].cast("long").alias("uid_val"),
+        F.col("m")["orphan"].alias("orphan_val"),
+        F.col("m")["env"].alias("env_val"),
+    )
+
+
+def q_grok_syslog(spark, sf_dir):
+    """Syslog pattern family (SYSLOGBASE pulls timestamp/logsource/program/
+    pid through nested pattern refs)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "line",
+        F.format_string(
+            "Jan 12 03:04:05 host%d app-%d[%d]: %s event",
+            F.col("user_id") % 50,
+            F.col("user_id") % 9,
+            F.col("event_id") % 100 + 1,
+            F.col("event_type"),
+        ),
+    )
+    ev = parse.grok(ev, match={"line": [r"%{SYSLOGBASE} %{GREEDYDATA:msg}"]})
+    return ev.select(
+        "event_id",
+        "timestamp",
+        "logsource",
+        "program",
+        F.col("pid").cast("int").alias("pid"),
+        "msg",
+    )
+
+
 def q_dissect_roundtrip(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "s",
@@ -399,6 +450,17 @@ def _roundtrip_oracles() -> dict[str, str]:
             from events""",
         "kv_roundtrip": """
             select event_id, event_type as type_val, user_id as uid_val from events""",
+        "kv_advanced": """
+            select event_id, event_type as type_val, user_id as uid_val,
+                   'missing' as orphan_val, 'prod' as env_val
+            from events""",
+        "grok_syslog": """
+            select event_id, 'Jan 12 03:04:05' as timestamp,
+                   'host' || cast(user_id % 50 as varchar) as logsource,
+                   'app-' || cast(user_id % 9 as varchar) as program,
+                   cast(event_id % 100 + 1 as int) as pid,
+                   event_type || ' event' as msg
+            from events""",
         "dissect_roundtrip": """
             select event_id, event_type as etype, strftime(ts, '%Y-%m-%d') as day, user_id as uid
             from events""",
@@ -823,6 +885,25 @@ def q_otel_gauge_sum(spark, sf_dir):
     )
 
 
+def q_otel_summary(spark, sf_dir):
+    """OTel Summary quantiles (JacksonSummary). percentile_approx is exact
+    below its accuracy parameter (10k), so for these group sizes it equals
+    DuckDB's quantile_disc — a true oracle check, not a tolerance test."""
+    from data_prepper_spark.operators.metrics import summary_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    out = summary_quantiles(ev, ["event_type"], "value", [0.5, 0.9])
+    return out.select(
+        "event_type",
+        F.concat_ws(
+            ",", F.transform("quantileValues", lambda x: F.round(x, 4)).cast("array<string>")
+        ).alias("quantileValues"),
+        F.lit("0.5,0.9").alias("quantiles"),
+        F.round("sum", 4).alias("sum"),
+        "count",
+    )
+
+
 def q_pipeline_yaml(spark, sf_dir):
     """Full reference-shaped YAML pipeline (source -> processors -> route ->
     sink) compiled to one DataFrame via data_prepper_spark.pipeline."""
@@ -958,6 +1039,13 @@ def _extra_oracles() -> dict[str, str]:
                    round(min(value), 4) as min, round(max(value), 4) as max,
                    round(sum(value), 4) as sum, count(*) as count
             from events group by event_type""",
+        "otel_summary": """
+            select event_type,
+                   array_to_string([round(quantile_disc(value, 0.5), 4),
+                                    round(quantile_disc(value, 0.9), 4)], ',') as quantileValues,
+                   '0.5,0.9' as quantiles,
+                   round(sum(value), 4) as sum, count(*) as count
+            from events group by event_type""",
         "otel_gauge_sum": """
             select event_id,
                    case when event_id % 2 = 0 then 'gauge' else 'sum' end as kind,
@@ -993,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "translate_tiers": q_translate_tiers,
         "grok_roundtrip": q_grok_roundtrip,
         "kv_roundtrip": q_kv_roundtrip,
+        "kv_advanced": q_kv_advanced,
+        "grok_syslog": q_grok_syslog,
         "dissect_roundtrip": q_dissect_roundtrip,
         "date_roundtrip": q_date_roundtrip,
         "dedup_exact": q_dedup_exact,
@@ -1022,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_yaml": q_pipeline_yaml,
         "otel_histogram": q_otel_histogram,
         "otel_gauge_sum": q_otel_gauge_sum,
+        "otel_summary": q_otel_summary,
     }
 
 

@@ -105,14 +105,21 @@ def geo_enrich(
     ip_col: str,
     geo: DataFrame,
     target_fields: list[str] | None = None,
+    bucketed: bool = True,
 ) -> DataFrame:
     """Broadcast prefix-range lookup: ``geo`` has (net_lo long, net_hi
     long, ...attrs) rows over the integer IPv4 space; each event joins the
-    range containing its address. The geo table is small (MaxMind city is
-    ~4M rows; country ~400k) -> broadcast + range predicate, which AQE
-    executes as BroadcastNestedLoopJoin with the predicate pushed into the
-    build-side scan. For the city-scale table, bucket both sides by /16
-    prefix first to make it an equi-join."""
+    range containing its address.
+
+    ``bucketed`` (default): each geo range is exploded to the /16 prefixes
+    it covers and the join becomes a BroadcastHASHJoin on the prefix with
+    the range check as a residual filter — per-row probe cost is the
+    handful of ranges sharing that /16. Without bucketing, a pure range
+    predicate plans as BroadcastNestedLoopJoin: fine for a ~400-row country
+    table, quadratic pain at MaxMind-city scale (~4M ranges x every event).
+    A /8-spanning range explodes to 256 bucket rows — broadcast size grows
+    by the bucket fanout, still tiny next to the NLJ it avoids.
+    """
     ip = F.col(ip_col)
     parts = F.split(ip, r"\.")
     as_long = (
@@ -122,7 +129,20 @@ def geo_enrich(
         + parts.getItem(3).cast("long")
     )
     enriched = df.withColumn("__ip_num", as_long)
-    cond = (F.col("__ip_num") >= geo["net_lo"]) & (F.col("__ip_num") <= geo["net_hi"])
     keep = target_fields or [c for c in geo.columns if c not in ("net_lo", "net_hi")]
-    out = enriched.join(F.broadcast(geo), cond, "left")
+    if bucketed:
+        gb = geo.withColumn(
+            "__geo_bucket",
+            F.explode(F.sequence(F.shiftright("net_lo", 16), F.shiftright("net_hi", 16))),
+        )
+        enriched = enriched.withColumn("__ip_bucket", F.shiftright("__ip_num", 16))
+        cond = (
+            (enriched["__ip_bucket"] == gb["__geo_bucket"])
+            & (enriched["__ip_num"] >= gb["net_lo"])
+            & (enriched["__ip_num"] <= gb["net_hi"])
+        )
+        out = enriched.join(F.broadcast(gb), cond, "left")
+    else:
+        cond = (F.col("__ip_num") >= geo["net_lo"]) & (F.col("__ip_num") <= geo["net_hi"])
+        out = enriched.join(F.broadcast(geo), cond, "left")
     return out.select(*df.columns, *keep)

@@ -47,26 +47,72 @@ GROK_BASE = {
     "TIME": r"(?:\d{2}:\d{2}:\d{2})",
     "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
     "TIMESTAMP_ISO8601": r"%{YEAR}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
-    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|SEVERE|FATAL)",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR|SEVERE|FATAL|ALERT|CRITICAL|[Dd]ebug|[Ii]nfo|[Ww]arn(?:ing)?|[Ee]rr(?:or)?|[Ff]atal)",
     "COMMONAPACHELOG": (
         r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] '
         r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
         r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
     ),
+    # -- extended vocabulary (public logstash grok-patterns family; all
+    # inner groups are non-capturing so field numbering stays stable) --
+    "BASE10NUM": r"(?<![0-9.+-])(?:[+-]?(?:(?:[0-9]+(?:\.[0-9]+)?)|(?:\.[0-9]+)))",
+    "BASE16NUM": r"(?<![0-9A-Fa-f])(?:[+-]?(?:0x)?(?:[0-9A-Fa-f]+))",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*(?:\.?|\b)",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "QS": r"%{QUOTEDSTRING}",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "URIPROTO": r"[A-Za-z]+(?:\+[A-Za-z+]+)?",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT:port})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    "COMBINEDAPACHELOG": r'%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}',
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "DATESTAMP": r"(?:%{DATE_US}|%{DATE_EU})[- ]%{TIME}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "MAC": r"(?:[A-Fa-f0-9]{2}[:-]){5}(?:[A-Fa-f0-9]{2})",
+    "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+    "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
+    "WINPATH": r"(?:[A-Za-z]:|\\)(?:\\[^\\?*]*)+",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?\}")
 
 
-def grok_expand(pattern: str, definitions: dict[str, str] | None = None) -> tuple[str, list[str]]:
-    """Expand a grok pattern to (java_regex, captured_field_names)."""
+def grok_expand(
+    pattern: str,
+    definitions: dict[str, str] | None = None,
+    named_captures_only: bool = True,
+) -> tuple[str, list[str]]:
+    """Expand a grok pattern to (java_regex, captured_field_names).
+
+    With ``named_captures_only=False``, a top-level bare ``%{IP}`` also
+    captures under the pattern's own name (GrokProcessorConfig default is
+    true, mirroring logstash)."""
     defs = {**GROK_BASE, **(definitions or {})}
     fields: list[str] = []
 
-    def sub(m: re.Match) -> str:
+    def sub(m: re.Match, top: bool = False) -> str:
         name, field = m.group(1), m.group(2)
         if name not in defs:
             raise KeyError(f"unknown grok pattern %{{{name}}}")
+        if not field and top and not named_captures_only:
+            field = name
         if field:
             # reserve the outer group's index BEFORE expanding nested refs:
             # capture-group numbering follows opening-paren order
@@ -76,7 +122,7 @@ def grok_expand(pattern: str, definitions: dict[str, str] | None = None) -> tupl
         inner = _GROK_REF.sub(sub, defs[name])
         return f"(?:{inner})"
 
-    regex = _GROK_REF.sub(sub, pattern)
+    regex = _GROK_REF.sub(lambda m: sub(m, top=True), pattern)
     return regex, fields
 
 
@@ -86,6 +132,8 @@ def grok(
     pattern_definitions: dict[str, str] | None = None,
     target_key: str | None = None,
     keep_empty_captures: bool = False,
+    named_captures_only: bool = True,
+    keys_to_overwrite: list[str] | None = None,
     tags_on_match_failure: list[str] | None = None,
     when: str | None = None,
 ) -> DataFrame:
@@ -93,10 +141,13 @@ def grok(
     source wins (break_on_match=true, the reference default).
 
     Captures merge into the row as new columns (or under ``target_key`` as a
-    struct). Failed matches get ``tags_on_match_failure`` appended to a
-    ``tags`` array column, mirroring event-tagging semantics.
+    struct). A capture whose column already exists keeps the existing value
+    unless listed in ``keys_to_overwrite`` (GrokProcessorConfig.java:14-43).
+    Failed matches get ``tags_on_match_failure`` appended to a ``tags``
+    array column, mirroring event-tagging semantics.
     """
     gate = F.expr(when) if when else F.lit(True)
+    overwrite = set(keys_to_overwrite or [])
     sep = "\x1e"  # record separator; capture values must not contain it
     tmp_cols: list[str] = []
     for source, patterns in match.items():
@@ -107,7 +158,8 @@ def grok(
         # (rlike + packed replace) instead of 1 + n_captures. The packed
         # array is materialized as its own column so each field reference
         # is an attribute read, not a re-inlined regex tree.
-        alts = [grok_expand(p, pattern_definitions) for p in patterns]
+        existing = set(df.columns) - set(tmp_cols)
+        alts = [grok_expand(p, pattern_definitions, named_captures_only) for p in patterns]
         matched = F.lit(False)
         cols: dict[str, Column] = {}
         for pi, (rx, flds) in enumerate(alts):
@@ -143,6 +195,10 @@ def grok(
             )
         else:
             for k, v in cols.items():
+                if k in existing and k not in overwrite:
+                    # existing event keys win unless listed in
+                    # keys_to_overwrite (reference merge semantics)
+                    continue
                 df = df.withColumn(k, F.when(gate, v))
         if tags_on_match_failure:
             tags = F.col("tags") if "tags" in df.columns else F.array().cast("array<string>")
@@ -154,27 +210,109 @@ def grok(
 
 
 # ----------------------------------------------------------- key_value ----
+def _chars_to_regex(chars: str) -> str:
+    """Reference's buildRegexFromCharacters: each char becomes a regex
+    alternative (KeyValueProcessor.java:188-202)."""
+    return "|".join(re.escape(c) for c in chars)
+
+
 def key_value(
     df: DataFrame,
     source: str,
     destination: str = "parsed_message",
     field_split_characters: str = "&",
+    field_delimiter_regex: str | None = None,
     value_split_characters: str = "=",
-    transform_key: str | None = None,
+    key_value_delimiter_regex: str | None = None,
+    non_match_value: str | None = None,
+    default_values: dict[str, str] | None = None,
     include_keys: list[str] | None = None,
+    exclude_keys: list[str] | None = None,
+    delete_key_regex: str | None = None,
+    delete_value_regex: str | None = None,
+    prefix: str | None = None,
+    whitespace: str = "lenient",
+    transform_key: str | None = None,
+    remove_brackets: bool = False,
     when: str | None = None,
 ) -> DataFrame:
-    """String field -> map<string,string> (KeyValueProcessor)."""
-    m = F.str_to_map(
-        F.col(source), F.lit(re.escape(field_split_characters)), F.lit(re.escape(value_split_characters))
-    )
-    if transform_key == "lowercase":
-        m = F.transform_keys(m, lambda k, _: F.lower(k))
-    elif transform_key == "uppercase":
-        m = F.transform_keys(m, lambda k, _: F.upper(k))
+    """String field -> map<string,string> (KeyValueProcessor.java:38-59,
+    232-238, executeConfigs at 415-472), as one Catalyst expression tree
+    over the split-pairs array — split / transform / filter higher-order
+    functions, no UDF.
+
+    Option semantics follow the reference's non-recursive path:
+    - ``field_delimiter_regex`` overrides ``field_split_characters`` (which
+      compiles to a char-alternation regex, as in the reference)
+    - groups without a key/value delimiter become (group, non_match_value)
+    - include/exclude filter on the RAW key, before delete/prefix/transform
+      (reference order), then delete_key_regex, prefix, delete_value_regex,
+      whitespace='strict' (key stripTrailing / value stripLeading),
+      transform_key (lowercase|uppercase|capitalize), remove_brackets
+    - ``default_values`` fill keys absent after parsing
+    - duplicate keys keep the FIRST occurrence (the reference collects
+      duplicates into a list, which a map<string,string> cannot represent)
+    - ``recursive`` bracket-tree parsing is not supported
+    """
+    if field_delimiter_regex and field_split_characters != "&":
+        raise ValueError("field_delimiter_regex and field_split_characters cannot both be set")
+    if key_value_delimiter_regex and value_split_characters != "=":
+        raise ValueError("key_value_delimiter_regex and value_split_characters cannot both be set")
+    field_rx = field_delimiter_regex or _chars_to_regex(field_split_characters)
+    kv_rx = key_value_delimiter_regex or _chars_to_regex(value_split_characters)
+
+    groups = F.filter(F.split(F.col(source), field_rx), lambda g: g != "")
+
+    def entry(g):
+        kv = F.split(g, kv_rx, 2)
+        k = F.element_at(kv, 1)
+        v = F.when(F.size(kv) >= 2, F.element_at(kv, 2)).otherwise(
+            F.lit(non_match_value).cast("string")
+        )
+        return F.struct(k.alias("k"), v.alias("v"))
+
+    entries = F.transform(groups, entry)
+    raw_keys = F.transform(entries, lambda e: e["k"])
+    # keep-first dedupe: entry survives iff its index is the first index of
+    # its key (array_position is 1-based first match; n is tiny per row)
+    entries = F.filter(entries, lambda e, i: F.array_position(raw_keys, e["k"]) == i + 1)
     if include_keys:
-        inc = F.array(*[F.lit(k) for k in include_keys])
-        m = F.map_filter(m, lambda k, _: F.array_contains(inc, k))
+        inc = F.array(*[F.lit(x) for x in include_keys])
+        entries = F.filter(entries, lambda e: F.array_contains(inc, e["k"]))
+    if exclude_keys:
+        exc = F.array(*[F.lit(x) for x in exclude_keys])
+        entries = F.filter(entries, lambda e: ~F.array_contains(exc, e["k"]))
+
+    def shape(e):
+        k, v = e["k"], e["v"]
+        if delete_key_regex:
+            k = F.regexp_replace(k, delete_key_regex, "")
+        if prefix:
+            k = F.concat(F.lit(prefix), k)
+        if delete_value_regex:
+            v = F.when(v.isNotNull(), F.regexp_replace(v, delete_value_regex, ""))
+        if whitespace == "strict":
+            k = F.regexp_replace(k, r"\s+$", "")
+            v = F.when(v.isNotNull(), F.regexp_replace(v, r"^\s+", ""))
+        if transform_key == "lowercase":
+            k = F.lower(k)
+        elif transform_key == "uppercase":
+            k = F.upper(k)
+        elif transform_key == "capitalize":
+            k = F.concat(F.upper(k.substr(F.lit(1), F.lit(1))), k.substr(F.lit(2), F.length(k)))
+        if remove_brackets:
+            v = F.when(v.isNotNull(), F.regexp_replace(v, r"[\[\]()<>]", ""))
+        return F.struct(k.alias("k"), v.alias("v"))
+
+    entries = F.transform(entries, shape)
+    m = F.map_from_entries(entries)
+    if default_values:
+        defaults = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in default_values]),
+            F.array(*[F.lit(v).cast("string") for v in default_values.values()]),
+        )
+        missing = F.map_filter(defaults, lambda k, _: ~F.array_contains(F.map_keys(m), k))
+        m = F.map_concat(m, missing)
     out = F.when(F.expr(when), m) if when else m
     return df.withColumn(destination, out)
 
@@ -183,12 +321,29 @@ def key_value(
 def csv_parse(
     df: DataFrame,
     source: str,
-    column_names: list[str],
+    column_names: list[str] | None = None,
     delimiter: str = ",",
     quote_character: str = '"',
+    column_names_source_key: str | None = None,
     when: str | None = None,
 ) -> DataFrame:
-    """CSV string field -> named columns (CsvProcessor)."""
+    """CSV string field -> named columns (CsvProcessor.java:35,53).
+
+    ``column_names_source_key`` (CsvProcessor.java:113-115) reads the
+    header from another field. The reference resolves it per event; a
+    DataFrame has one static schema, so the header is taken from the first
+    non-null value of that field (one tiny driver-side lookup) — the
+    uniform-header case the reference's own tests exercise.
+    """
+    if column_names is None:
+        assert column_names_source_key, "column_names or column_names_source_key required"
+        first = (
+            df.where(F.col(column_names_source_key).isNotNull())
+            .select(column_names_source_key)
+            .first()
+        )
+        assert first is not None, f"no non-null {column_names_source_key} row to read header from"
+        column_names = [c.strip() for c in first[0].split(delimiter)]
     schema = ", ".join(f"`{c}` string" for c in column_names)
     parsed = F.from_csv(
         F.col(source), schema, {"sep": delimiter, "quote": quote_character}

@@ -21,9 +21,19 @@ def translate_map(
     mapping: dict,
     default=None,
     when: str | None = None,
+    iterate_on: bool = False,
 ) -> DataFrame:
+    """Exact-match dictionary lookup. With ``iterate_on`` the source is an
+    ARRAY column and every element is translated
+    (TranslateProcessor.java:197-218's nested-record iteration) — a
+    ``transform`` higher-order function, still one codegen'd projection."""
     lit_map = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
-    col = F.coalesce(lit_map[F.col(source)], F.lit(default))
+    if iterate_on:
+        col = F.transform(
+            F.col(source), lambda x: F.coalesce(lit_map[x], F.lit(default))
+        )
+    else:
+        col = F.coalesce(lit_map[F.col(source)], F.lit(default))
     if when:
         col = F.when(F.expr(when), col)
     return df.withColumn(target, col)

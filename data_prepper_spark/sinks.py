@@ -39,7 +39,15 @@ def write_sink(
     elif codec == "csv":
         w.option("header", "true").csv(path)
     elif codec == "avro":
-        w.format("avro").save(path)
+        try:
+            w.format("avro").save(path)
+        except Exception as e:
+            if "FAILED_TO_FIND_DATA_SOURCE" in str(e) or "Failed to find" in str(e):
+                raise NotImplementedError(
+                    "avro codec requires the spark-avro datasource jar: run with "
+                    "spark-submit --packages org.apache.spark:spark-avro_2.13:<spark_version>"
+                ) from e
+            raise
     else:
         raise ValueError(f"unknown codec: {codec}")
 

@@ -42,7 +42,18 @@ def read_source(
         # reference NewlineDelimitedInputCodec wraps each line as {message}
         return df.withColumnRenamed("value", "message")
     if codec == "avro":
-        return r.format("avro").options(**opts).load(path)
+        # spark-avro is an external datasource module; without its jar the
+        # load fails with FAILED_TO_FIND_DATA_SOURCE — surface that as a
+        # clear capability error instead of a raw analysis exception
+        try:
+            return r.format("avro").options(**opts).load(path)
+        except Exception as e:
+            if "FAILED_TO_FIND_DATA_SOURCE" in str(e) or "Failed to find" in str(e):
+                raise NotImplementedError(
+                    "avro codec requires the spark-avro datasource jar: run with "
+                    "spark-submit --packages org.apache.spark:spark-avro_2.13:<spark_version>"
+                ) from e
+            raise
     raise ValueError(f"unknown codec: {codec}")
 
 

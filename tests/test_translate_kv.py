@@ -63,6 +63,7 @@ def test_key_value_options(spark):
         field_split_characters=";",
         value_split_characters="=",
         transform_key="lowercase",
-        include_keys=["a", "c"],
+        include_keys=["A", "C"],  # include/exclude match the RAW key,
+        # before transform_key — reference executeConfigs order
     ).collect()[0]["m"]
     assert out == {"a": "1", "c": "3"}
