@@ -84,6 +84,24 @@ def main() -> None:
     build_sec = time.time() - t0
     timings["ft_index_build"] = round(build_sec, 3)
 
+    # ---- throughput headline at corpus scale: the sf0.1 documents table is
+    # only 5k docs, where per-job scheduling overhead (~6 s serial) dominates
+    # and docs/s understates the engine ~8x. The 200k-doc synthetic code
+    # corpus (same generator as the scaling evidence) amortizes it; this
+    # docs_per_sec is the honest engine number.
+    corpus_sf = float(os.environ.get("SPARK_GRAFT_CORPUS_SF", "0.2"))
+    corpus_src = f".bench_cache/corpus_sf{corpus_sf}"
+    corpus_out = ".bench_cache/corpus_index"
+    if not os.path.exists(corpus_src):
+        from data_prepper_spark.corpus import write_code_files
+
+        write_code_files(spark, corpus_sf, corpus_src)
+    shutil.rmtree(corpus_out, ignore_errors=True)
+    t0 = time.time()
+    corpus_res = build_index(spark, corpus_src, corpus_out, n_shards=64, units=1, shard_groups=1)
+    corpus_build_sec = time.time() - t0
+    timings["ft_corpus_build"] = round(corpus_build_sec, 3)
+
     # ---- warm-path WAND query latency over the built index
     engine = IndexQueryEngine(spark, out)
     lat: list[float] = []
@@ -122,8 +140,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF_DIR,
-                "docs_per_sec": round(n_docs / build_sec, 1),
-                "n_docs_indexed": n_docs,
+                "docs_per_sec": round(corpus_res.n_docs / corpus_build_sec, 1),
+                "n_docs_indexed": corpus_res.n_docs,
+                "corpus_sf": corpus_sf,
+                "small_build_docs_per_sec": round(n_docs / build_sec, 1),
+                "small_build_n_docs": n_docs,
                 "query_p50_ms": round(p50 * 1000, 1),
                 "query_p95_ms": round(p95 * 1000, 1),
                 "query_batched_ms_per_query": batch_per_query_ms,

@@ -277,57 +277,95 @@ def _ledger_done(io: TableIO, spark: SparkSession) -> set[tuple[str, int]]:
     }
 
 
-def build_index(
-    spark: SparkSession,
-    source_path: str,
-    out_dir: str,
-    n_shards: int = 64,
-    block_size: int = 128,
-    units: int = 4,
-    shard_groups: int = 4,
-    resume: bool = True,
-    fault_injector: Callable[[str, int], None] | None = None,
-) -> BuildResult:
-    """Resumable two-stage index build from a parquet ``code_files`` path.
-
-    ``fault_injector(stage, unit)`` is a test hook called before each unit
-    commits — raising from it simulates a mid-build crash.
-    """
+def _make_mark():
     import sys
     import time as _time
 
     debug = os.environ.get("DPS_BUILD_DEBUG") == "1"
-    _t0 = _time.time()
+    state = {"t0": _time.time()}
 
     def _mark(label: str) -> None:
-        nonlocal _t0
         if debug:
-            print(f"BUILD_PHASE {label}: {_time.time() - _t0:.1f}s", file=sys.stderr, flush=True)
-        _t0 = _time.time()
+            print(
+                f"BUILD_PHASE {label}: {_time.time() - state['t0']:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+        state["t0"] = _time.time()
 
-    io = TableIO(out_dir)
-    if not resume:
-        # fresh build into a possibly-dirty out_dir: the ledger is append-
-        # only, so stale 'done' rows would double-count n_docs/avgdl in the
-        # corpus-stats rollup, and stale unit dirs from a previous build
-        # with a different `units`/`shard_groups` layout would be picked up
-        # by the recursive postings/blocks reads
-        for tbl in ("build_ledger", "docs", "postings", "posting_blocks",
-                    "corpus_stats", "dictionary"):
-            io.drop(spark, tbl)
-    done = _ledger_done(io, spark) if resume else set()
+    return _mark
 
-    # ---- stage A: tokenize + shard-partitioned posting runs, per file unit
-    files = sorted(
+
+def _source_files(source_path: str) -> list[str]:
+    return sorted(
         os.path.join(source_path, f)
         for f in os.listdir(source_path)
         if f.endswith(".parquet")
     )
-    units = max(1, min(units, len(files)))
-    unit_files = [files[i::units] for i in range(units)]
+
+
+def _stage_a_unit(
+    spark: SparkSession,
+    io: TableIO,
+    u: int,
+    source: DataFrame,
+    n_shards: int,
+    source_tag: str,
+) -> None:
+    """One stage-A work unit from a source DataFrame: docs table + shard-
+    partitioned posting runs + a ledger commit. Shared by the batch build
+    (per file unit), add_to_index, and the streaming foreachBatch sink."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Observation
 
-    for u, fl in enumerate(unit_files):
+    base = docs_df(source)
+    posts = postings_from_docs(base, n_shards)
+    # per-unit dirs make the commit idempotent under overwrite; counters
+    # ride the write jobs as Observation metrics — no extra count jobs.
+    # The two writes are independent jobs over the same source; running
+    # them concurrently lets the scheduler fill each other's stage
+    # gaps (tail tasks, commit barriers) — same total work, less wall
+    obs_docs, obs_posts = Observation(), Observation()
+    docs_out = base.drop("tokens").observe(
+        obs_docs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("dl_sum")
+    )
+
+    def _write_docs():
+        docs_out.write.mode("overwrite").parquet(io.path(f"docs/unit={u}"))
+
+    def _write_posts():
+        posts.observe(obs_posts, F.count(F.lit(1)).alias("n")).repartition(
+            "shard"
+        ).sortWithinPartitions("term", "doc_id").write.mode("overwrite").partitionBy(
+            "shard"
+        ).parquet(io.path(f"postings/unit={u}"))
+
+    with ThreadPoolExecutor(2) as pool:
+        f1, f2 = pool.submit(_write_docs), pool.submit(_write_posts)
+        f1.result()
+        f2.result()
+    n_docs = int(obs_docs.get["n"])
+    n_posts = int(obs_posts.get["n"])
+    _ledger_append(
+        io, spark,
+        [("A", u, "done", n_docs, n_posts, 0, int(obs_docs.get["dl_sum"]), source_tag, CODE_VERSION)],
+    )
+
+
+def _run_stage_a(
+    spark: SparkSession,
+    io: TableIO,
+    unit_files: list[tuple[int, list[str]]],
+    n_shards: int,
+    source_path: str,
+    done: set[tuple[str, int]],
+    fault_injector,
+    mark,
+) -> None:
+    """Stage A: tokenize + shard-partitioned posting runs, one ledger
+    commit per (unit_id, files) work unit."""
+    for u, fl in unit_files:
         if ("A", u) in done:
             continue
         if fault_injector:
@@ -337,45 +375,14 @@ def build_index(
         # columnar cache measured *slower* than re-running the (cheap,
         # codegen'd) analyzer, and the cache's memory pressure degraded
         # every concurrent stage — at 100 TB the cache wouldn't fit anyway
-        base = docs_df(spark.read.parquet(*fl))
-        posts = postings_from_docs(base, n_shards)
-        # per-unit dirs make the commit idempotent under overwrite; counters
-        # ride the write jobs as Observation metrics — no extra count jobs.
-        # The two writes are independent jobs over the same source; running
-        # them concurrently lets the scheduler fill each other's stage
-        # gaps (tail tasks, commit barriers) — same total work, less wall
-        obs_docs, obs_posts = Observation(), Observation()
-        docs_out = base.drop("tokens").observe(
-            obs_docs, F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("dl_sum")
-        )
+        _stage_a_unit(spark, io, u, spark.read.parquet(*fl), n_shards, source_path)
+        mark(f"stageA unit {u}")
 
-        def _write_docs():
-            docs_out.write.mode("overwrite").parquet(io.path(f"docs/unit={u}"))
 
-        def _write_posts():
-            posts.observe(obs_posts, F.count(F.lit(1)).alias("n")).repartition(
-                "shard"
-            ).sortWithinPartitions("term", "doc_id").write.mode("overwrite").partitionBy(
-                "shard"
-            ).parquet(io.path(f"postings/unit={u}"))
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(2) as pool:
-            f1, f2 = pool.submit(_write_docs), pool.submit(_write_posts)
-            f1.result()
-            f2.result()
-        n_docs = int(obs_docs.get["n"])
-        n_posts = int(obs_posts.get["n"])
-        _ledger_append(
-            io, spark,
-            [("A", u, "done", n_docs, n_posts, 0, int(obs_docs.get["dl_sum"]), source_path, CODE_VERSION)],
-        )
-        _mark(f"stageA unit {u}")
-
-    # corpus stats roll up from the per-unit ledger counters (captured as
-    # Observation metrics on the write jobs) — no extra scan of the docs
-    # table; resume-safe because the ledger is durable per unit
+def _write_corpus_stats(spark: SparkSession, io: TableIO) -> tuple[int, float]:
+    """Corpus stats roll up from the per-unit ledger counters (captured as
+    Observation metrics on the write jobs) — no extra scan of the docs
+    table; resume-safe because the ledger is durable per unit."""
     arows = [r for r in _ledger_latest(io, spark) if r["stage"] == "A" and r["state"] == "done"]
     n_docs = sum(int(r["docs_tokenized"]) for r in arows)
     dl_sum = sum(int(r["doc_len_sum"]) for r in arows)
@@ -395,12 +402,25 @@ def build_index(
             spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double"),
             "corpus_stats",
         )
+    return n_docs, avgdl
 
-    postings = spark.read.parquet(io.path("postings"))
-    _mark("corpus_stats")
 
-    # ---- stage B: runs -> compressed block-max blocks, per shard group
-    shard_groups = max(1, min(shard_groups, n_shards))
+def _run_stage_b(
+    spark: SparkSession,
+    io: TableIO,
+    postings: DataFrame,
+    avgdl: float,
+    block_size: int,
+    shard_groups: int,
+    source_path: str,
+    done: set[tuple[str, int]],
+    fault_injector,
+    mark,
+) -> None:
+    """Stage B: posting runs -> compressed block-max blocks, one ledger
+    commit per shard group."""
+    from pyspark.sql import Observation
+
     for g in range(shard_groups):
         if ("B", g) in done:
             continue
@@ -409,15 +429,21 @@ def build_index(
         grp = postings.where(F.col("shard") % shard_groups == g)  # partition-pruned
         blocks = blocks_from_postings(grp, avgdl, block_size)
         obs_blocks = Observation()
+        # bloom filter on term_hash: a cold query's `term_hash IN (...)`
+        # scan skips row groups holding none of the query's terms
         blocks.observe(obs_blocks, F.count(F.lit(1)).alias("n")).write.mode(
             "overwrite"
-        ).partitionBy("shard").parquet(io.path(f"posting_blocks/group={g}"))
+        ).option("parquet.bloom.filter.enabled#term_hash", "true").partitionBy(
+            "shard"
+        ).parquet(io.path(f"posting_blocks/group={g}"))
         n_blocks = int(obs_blocks.get["n"])
         _ledger_append(io, spark, [("B", g, "done", 0, 0, n_blocks, 0, source_path, CODE_VERSION)])
-        _mark(f"stageB group {g}")
+        mark(f"stageB group {g}")
 
-    # ---- dictionary: df/cf + per-term upper bound for WAND pruning;
-    # carries term_hash so query-time block lookup never needs strings
+
+def _write_dictionary(spark: SparkSession, io: TableIO, postings: DataFrame, mark) -> None:
+    """Dictionary: df/cf + per-term upper bound for WAND pruning; carries
+    term_hash so query-time block lookup never needs strings."""
     blocks_all = spark.read.parquet(io.path("posting_blocks"))
     ub = blocks_all.groupBy("term_hash").agg(
         F.max("block_max_wtf").alias("max_wtf"), F.sum("n_docs").alias("n_blocks_docs")
@@ -431,8 +457,15 @@ def build_index(
     # parquet row-group min/max inside each sorted file. repartitionByRange
     # would add file-level pruning but costs a range-sampling pass that
     # RE-EXECUTES the whole dictionary aggregation — not worth it; at
-    # design scale bump 8 -> O(shards) partitions.
-    io.write(dic.repartition(8, "term").sortWithinPartitions("term"), "dictionary")
+    # design scale bump 8 -> O(shards) partitions. A parquet bloom filter
+    # on term lets the reader skip row groups for ABSENT terms (the min/max
+    # ranges of hash-partitioned files are wide, so misses would otherwise
+    # scan) — the dictionary-sidecar idea expressed as a writer option.
+    io.write(
+        dic.repartition(8, "term").sortWithinPartitions("term"),
+        "dictionary",
+        options={"parquet.bloom.filter.enabled#term": "true"},
+    )
     # collision gate on the WRITTEN table (a 2-column scan — re-checking the
     # unmaterialized dic would re-run the whole aggregation): a term_hash
     # shared by two terms would silently merge their postings at query time
@@ -442,6 +475,157 @@ def build_index(
             f"xxhash64 term collision detected (term_hash={collided[0]['term_hash']}); "
             "index is unusable — rebuild with a wider term key"
         )
-    _mark("dictionary")
+    mark("dictionary")
 
+
+def build_index(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    n_shards: int = 64,
+    block_size: int = 128,
+    units: int = 4,
+    shard_groups: int = 4,
+    resume: bool = True,
+    fault_injector: Callable[[str, int], None] | None = None,
+) -> BuildResult:
+    """Resumable two-stage index build from a parquet ``code_files`` path.
+
+    ``fault_injector(stage, unit)`` is a test hook called before each unit
+    commits — raising from it simulates a mid-build crash.
+    """
+    _mark = _make_mark()
+    io = TableIO(out_dir)
+    if not resume:
+        # fresh build into a possibly-dirty out_dir: the ledger is append-
+        # only, so stale 'done' rows would double-count n_docs/avgdl in the
+        # corpus-stats rollup, and stale unit dirs from a previous build
+        # with a different `units`/`shard_groups` layout would be picked up
+        # by the recursive postings/blocks reads
+        for tbl in ("build_ledger", "docs", "postings", "posting_blocks",
+                    "corpus_stats", "dictionary"):
+            io.drop(spark, tbl)
+    done = _ledger_done(io, spark) if resume else set()
+
+    files = _source_files(source_path)
+    units = max(1, min(units, len(files)))
+    unit_files = [(i, files[i::units]) for i in range(units)]
+    _run_stage_a(spark, io, unit_files, n_shards, source_path, done, fault_injector, _mark)
+
+    n_docs, avgdl = _write_corpus_stats(spark, io)
+    postings = spark.read.parquet(io.path("postings"))
+    _mark("corpus_stats")
+
+    shard_groups = max(1, min(shard_groups, n_shards))
+    _run_stage_b(
+        spark, io, postings, avgdl, block_size, shard_groups, source_path,
+        done, fault_injector, _mark,
+    )
+    _write_dictionary(spark, io, postings, _mark)
+    return BuildResult(out_dir, n_docs, avgdl, n_shards)
+
+
+def add_to_index(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    n_shards: int = 64,
+    block_size: int = 128,
+    units: int = 1,
+    fault_injector: Callable[[str, int], None] | None = None,
+) -> BuildResult:
+    """Incremental maintenance: ingest NEW source files into an existing
+    index without re-tokenizing what is already there.
+
+    - Stage A runs only for the new files, appended as fresh unit ids —
+      tokenization (the dominant build cost) is never repeated for
+      existing units.
+    - Corpus stats are re-rolled from the ledger; because ``avgdl`` feeds
+      the precomputed block-max wtf pruning bounds, every stage-B group is
+      marked 'invalidated' in the ledger (latest-row-wins) and re-merged
+      from the union of old + new posting runs, then the dictionary is
+      rebuilt. Re-merge reads the columnar posting runs — no re-parse.
+    - Idempotent per source batch: a batch is identified by its
+      ``source_path`` (the ledger's source_snapshot lineage column);
+      re-adding an already-ingested path resumes instead of duplicating,
+      so a crash mid-add is recovered by calling add_to_index again.
+
+    ``n_shards`` and ``block_size`` must match the original build; the
+    stage-B grouping is reused from the ledger.
+    """
+    _mark = _make_mark()
+    io = TableIO(out_dir)
+    latest = _ledger_latest(io, spark)
+    a_rows = [r for r in latest if r["stage"] == "A" and r["state"] == "done"]
+    if not a_rows:
+        raise ValueError("add_to_index requires an existing build; use build_index first")
+    b_groups = sorted({r["unit_id"] for r in latest if r["stage"] == "B"})
+    shard_groups = max(1, len(b_groups))
+
+    already = [r for r in a_rows if r["source_snapshot"] == source_path]
+    done = _ledger_done(io, spark)
+    if already:
+        # this batch was (at least partly) ingested before: reuse its unit
+        # ids so the retry completes the batch instead of duplicating it
+        first_u = min(r["unit_id"] for r in already)
+    else:
+        first_u = max(r["unit_id"] for r in a_rows) + 1
+
+    files = _source_files(source_path)
+    units = max(1, min(units, len(files)))
+    unit_files = [(first_u + i, files[i::units]) for i in range(units)]
+    _run_stage_a(spark, io, unit_files, n_shards, source_path, done, fault_injector, _mark)
+
+    return refresh_index(
+        spark, out_dir, block_size=block_size, n_shards=n_shards,
+        shard_groups=shard_groups, source_tag=source_path,
+        fault_injector=fault_injector,
+    )
+
+
+def refresh_index(
+    spark: SparkSession,
+    out_dir: str,
+    block_size: int = 128,
+    n_shards: int | None = None,
+    shard_groups: int | None = None,
+    source_tag: str = "refresh",
+    fault_injector: Callable[[str, int], None] | None = None,
+) -> BuildResult:
+    """Merge step of incremental maintenance: re-roll corpus stats from the
+    ledger, invalidate + re-merge every stage-B group over the union of ALL
+    committed posting runs, and rebuild the dictionary.
+
+    add_to_index calls this automatically; the streaming unit sink
+    (streaming/index_stream.py) defers it so many micro-batches amortize
+    one re-merge — Lucene's segment-merge economics, expressed as a ledger
+    transition ('invalidated' -> 'done' rows carry the lineage).
+    """
+    _mark = _make_mark()
+    io = TableIO(out_dir)
+    latest = _ledger_latest(io, spark)
+    if not any(r["stage"] == "A" and r["state"] == "done" for r in latest):
+        raise ValueError("refresh_index requires committed stage-A units")
+    if shard_groups is None:
+        b_groups = {r["unit_id"] for r in latest if r["stage"] == "B"}
+        shard_groups = max(1, len(b_groups))
+
+    n_docs, avgdl = _write_corpus_stats(spark, io)
+    postings = spark.read.parquet(io.path("postings"))
+    if n_shards is None:
+        n_shards = int(postings.agg(F.max("shard")).collect()[0][0]) + 1
+    _mark("corpus_stats")
+
+    # invalidate every stage-B group: new docs hash into all shards and the
+    # updated avgdl changes every block's wtf bound. Latest-wins ledger rows
+    # keep the lineage (the 'invalidated' row records WHY group g re-ran).
+    _ledger_append(
+        io, spark,
+        [("B", g, "invalidated", 0, 0, 0, 0, source_tag, CODE_VERSION) for g in range(shard_groups)],
+    )
+    _run_stage_b(
+        spark, io, postings, avgdl, block_size, shard_groups, source_tag,
+        set(), fault_injector, _mark,
+    )
+    _write_dictionary(spark, io, postings, _mark)
     return BuildResult(out_dir, n_docs, avgdl, n_shards)

@@ -54,5 +54,8 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
-    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    # rank over the already-top-k rows: partitionBy(lit(0)) declares the
+    # single partition explicitly (<= k rows), silencing WindowExec's
+    # move-all-data warning without changing the plan's work
+    w = F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id")))
     return topk.select(w.alias("rank"), "doc_id", "score")

@@ -32,14 +32,19 @@ class TableIO:
         name: str,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        options: dict[str, str] | None = None,
     ) -> None:
         if self.catalog == "iceberg":
             w = df.writeTo(f"dps.{name.replace('/', '_')}")
+            for k, v in (options or {}).items():
+                w = w.option(k, v)
             (w.createOrReplace() if mode == "overwrite" else w.append())
             return
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         w.parquet(self.path(name))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:

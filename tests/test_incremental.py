@@ -1,0 +1,131 @@
+"""Incremental index maintenance: add_to_index must produce an index
+IDENTICAL (postings, blocks, dictionary, query results) to a clean build
+over the full corpus, without re-tokenizing existing units, and must be
+idempotent / crash-recoverable per source batch."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index.build import add_to_index, build_index
+from data_prepper_spark.query.engine import IndexQueryEngine
+
+
+def _split_corpus(corpus_dir, tmp_path):
+    files = sorted(f for f in os.listdir(corpus_dir) if f.endswith(".parquet"))
+    assert len(files) >= 2
+    half = len(files) // 2
+    s1, s2, full = (str(tmp_path / n) for n in ("s1", "s2", "full"))
+    for d in (s1, s2, full):
+        os.makedirs(d, exist_ok=True)
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(corpus_dir, f), (s1 if i < half else s2))
+        shutil.copy(os.path.join(corpus_dir, f), full)
+    return s1, s2, full
+
+
+def _chk(spark, path, expr):
+    return spark.read.parquet(path).select(F.expr(expr)).collect()[0][0]
+
+
+def test_add_to_index_equals_clean_build(spark, corpus_dir, tmp_path):
+    s1, s2, full = _split_corpus(corpus_dir, tmp_path)
+    inc = str(tmp_path / "idx_inc")
+    clean = str(tmp_path / "idx_clean")
+    build_index(spark, s1, inc, n_shards=8, units=1, shard_groups=2)
+    tokenized = []
+    r_inc = add_to_index(
+        spark, s2, inc, n_shards=8, units=1,
+        fault_injector=lambda s, u: tokenized.append((s, u)),
+    )
+    # stage A ran ONLY for the new batch's unit
+    assert [x for x in tokenized if x[0] == "A"] == [("A", 1)]
+    r_clean = build_index(spark, full, clean, n_shards=8, units=2, shard_groups=2)
+    assert (r_inc.n_docs, r_inc.avgdl) == (r_clean.n_docs, r_clean.avgdl)
+    assert _chk(spark, f"{inc}/postings", "bit_xor(xxhash64(term, doc_id, tf))") == _chk(
+        spark, f"{clean}/postings", "bit_xor(xxhash64(term, doc_id, tf))"
+    )
+    bexpr = (
+        "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, "
+        "doc_gaps, tfs, dls, block_max_tf, block_max_wtf))"
+    )
+    assert _chk(spark, f"{inc}/posting_blocks", bexpr) == _chk(spark, f"{clean}/posting_blocks", bexpr)
+    dexpr = "bit_xor(xxhash64(term, term_hash, df, cf, max_wtf))"
+    assert _chk(spark, f"{inc}/dictionary", dexpr) == _chk(spark, f"{clean}/dictionary", dexpr)
+    # query parity on the maintained index
+    e1, e2 = IndexQueryEngine(spark, inc, persist_blocks=False), IndexQueryEngine(spark, clean, persist_blocks=False)
+    for q in ("def return value", "class import"):
+        assert e1.topk(q, 10).collect() == e2.topk(q, 10).collect()
+
+
+def test_add_to_index_idempotent_and_crash_safe(spark, corpus_dir, tmp_path):
+    s1, s2, _ = _split_corpus(corpus_dir, tmp_path)
+    idx = str(tmp_path / "idx")
+    build_index(spark, s1, idx, n_shards=8, units=1, shard_groups=2)
+
+    calls = {"n": 0}
+
+    def boom(stage, unit):
+        calls["n"] += 1
+        if stage == "B" and calls["n"] >= 2:
+            calls["n"] = -99  # only crash once
+            raise RuntimeError("injected")
+
+    with pytest.raises(RuntimeError):
+        add_to_index(spark, s2, idx, n_shards=8, units=1, fault_injector=boom)
+    # retry completes the SAME batch (no duplicate tokenization of s2)
+    seen = []
+    r = add_to_index(
+        spark, s2, idx, n_shards=8, units=1,
+        fault_injector=lambda s, u: seen.append((s, u)),
+    )
+    assert [x for x in seen if x[0] == "A"] == []  # stage A already committed
+    # re-adding the identical batch again is a no-op for stage A and
+    # doesn't change corpus stats
+    r2 = add_to_index(spark, s2, idx, n_shards=8, units=1)
+    assert (r2.n_docs, r2.avgdl) == (r.n_docs, r.avgdl)
+    stats = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    assert stats["n_docs"] == r.n_docs
+
+
+def test_add_to_index_requires_existing(spark, corpus_dir, tmp_path):
+    with pytest.raises(ValueError):
+        add_to_index(spark, corpus_dir, str(tmp_path / "nope"))
+
+
+def test_streaming_index_updates(spark, corpus_dir, tmp_path):
+    """File-stream the corpus in 1-file micro-batches into stage-A units,
+    refresh, and get an index identical to the clean batch build."""
+    from data_prepper_spark.index.build import refresh_index
+    from data_prepper_spark.streaming.index_stream import index_stream_writer
+
+    out = str(tmp_path / "idx_stream")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(corpus_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(corpus_dir)
+    )
+    q = (
+        index_stream_writer(stream, out, n_shards=8, checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    r = refresh_index(spark, out, shard_groups=2)
+    clean = str(tmp_path / "idx_clean2")
+    rc = build_index(spark, corpus_dir, clean, n_shards=8, units=2, shard_groups=2)
+    assert (r.n_docs, r.avgdl) == (rc.n_docs, rc.avgdl)
+    bexpr = (
+        "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, "
+        "doc_gaps, tfs, dls, block_max_tf, block_max_wtf))"
+    )
+    assert _chk(spark, f"{out}/posting_blocks", bexpr) == _chk(spark, f"{clean}/posting_blocks", bexpr)
+    e1 = IndexQueryEngine(spark, out, persist_blocks=False)
+    e2 = IndexQueryEngine(spark, clean, persist_blocks=False)
+    assert e1.topk("def return value", 10).collect() == e2.topk("def return value", 10).collect()
