@@ -86,6 +86,7 @@ class IndexQueryEngine:
             return self.spark.createDataFrame([], empty)
         hstats = {s["hash"]: s for s in tstats.values()}
         avgdl, n = self.avgdl, k
+        from .wand import EXHAUSTIVE_THRESHOLD as thr
 
         import pandas as pd
 
@@ -96,7 +97,7 @@ class IndexQueryEngine:
                     buf.setdefault(int(s), []).append(grp)
             rows = []
             for s, parts in buf.items():
-                rows.extend(_wand_shard(pd.concat(parts), hstats, avgdl, n))
+                rows.extend(_wand_shard(pd.concat(parts), hstats, avgdl, n, thr))
             yield (
                 pd.DataFrame(rows, columns=["doc_id", "score"])
                 if rows
@@ -142,6 +143,7 @@ class IndexQueryEngine:
         if not all_hashes:
             return self.spark.createDataFrame([], empty)
         avgdl, n = self.avgdl, k
+        from .wand import EXHAUSTIVE_THRESHOLD as thr
 
         import pandas as pd
 
@@ -159,7 +161,7 @@ class IndexQueryEngine:
                     sub = shard_df[shard_df["term_hash"].isin(list(hstats))]
                     if len(sub) == 0:
                         continue
-                    for doc_id, score in _wand_shard(sub, hstats, avgdl, n):
+                    for doc_id, score in _wand_shard(sub, hstats, avgdl, n, thr):
                         rows.append((qid, doc_id, score))
             yield (
                 pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])

@@ -123,9 +123,72 @@ class _Cursor:
         return self.idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
 
 
-def _wand_shard(
+def _exhaustive_shard(
     groups: pd.DataFrame, hstats: dict[int, dict], avgdl: float, k: int
 ) -> list[tuple[int, float]]:
+    """Vectorized exhaustive BM25 over this shard's query-term blocks.
+
+    Decode every block (numpy varint), score all postings in one
+    vectorized expression, segment-sum per doc_id with add.reduceat, and
+    top-k with argpartition. No per-posting Python — for the low-df regime
+    where WAND's theta cannot prune much, this beats the pointer kernel by
+    an order of magnitude because the work is O(postings) either way and
+    here it runs at numpy speed. Produces the same (score, doc) answer as
+    the pointer kernel (asserted in tests)."""
+    doc_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    for th, bdf in groups.groupby("term_hash"):
+        st = hstats.get(int(th))
+        if st is None:
+            continue
+        idf = st["idf"]
+        for first, gaps, tfs_b, dls_b, n in zip(
+            bdf["first_doc_id"], bdf["doc_gaps"], bdf["tfs"], bdf["dls"], bdf["n_docs"]
+        ):
+            n = int(n)
+            docs = decode_doc_ids(int(first), gaps, n)
+            tf = decode_varints(tfs_b, n).astype(np.float64)
+            dl = decode_varints(dls_b, n).astype(np.float64)
+            doc_parts.append(docs)
+            score_parts.append(idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl)))
+    if not doc_parts:
+        return []
+    docs = np.concatenate(doc_parts)
+    scores = np.concatenate(score_parts)
+    order = np.argsort(docs, kind="stable")
+    d, s = docs[order], scores[order]
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    sums = np.add.reduceat(s, starts)
+    uniq = d[starts]
+    if len(sums) > k:
+        # top-k by score via argpartition, then re-include every doc tying
+        # the boundary score so the doc-asc tiebreak is exact
+        boundary = sums[np.argpartition(-sums, k - 1)[:k]].min()
+        cand = np.flatnonzero(sums >= boundary)
+        sel = cand[np.lexsort((uniq[cand], -sums[cand]))]
+    else:
+        sel = np.lexsort((uniq, -sums))
+    return [(int(uniq[i]), float(sums[i])) for i in sel[:k]]
+
+
+# below this many postings (block metadata, no decode needed) per shard the
+# vectorized exhaustive path wins; above it, theta/block-max pruning pays.
+EXHAUSTIVE_THRESHOLD = 200_000
+
+
+def _wand_shard(
+    groups: pd.DataFrame,
+    hstats: dict[int, dict],
+    avgdl: float,
+    k: int,
+    exhaustive_threshold: int | None = None,
+) -> list[tuple[int, float]]:
+    # callers capture the threshold DRIVER-side and pass it through the
+    # closure: executor workers re-import this module, so a patched module
+    # global would silently not reach them
+    thr = EXHAUSTIVE_THRESHOLD if exhaustive_threshold is None else exhaustive_threshold
+    if int(groups["n_docs"].sum()) <= thr:
+        return _exhaustive_shard(groups, hstats, avgdl, k)
     cursors = []
     for th, bdf in groups.groupby("term_hash"):
         st = hstats.get(int(th))
@@ -212,6 +275,8 @@ def bm25_topk_wand(
         F.col("term_hash").isin(list(hstats))
     )
 
+    thr = EXHAUSTIVE_THRESHOLD
+
     def per_shard(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # mapInPandas over shard-partitioned scan: each incoming batch holds
         # one shard's term-blocks (we repartition by shard below)
@@ -221,7 +286,7 @@ def bm25_topk_wand(
                 buf.setdefault(int(s), []).append(grp)
         rows = []
         for s, parts in buf.items():
-            hits = _wand_shard(pd.concat(parts), hstats, avgdl, k)
+            hits = _wand_shard(pd.concat(parts), hstats, avgdl, k, thr)
             rows.extend(hits)
         yield pd.DataFrame(rows, columns=["doc_id", "score"]) if rows else pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}

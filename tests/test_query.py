@@ -64,3 +64,21 @@ def test_duckdb_df_dl_crosscheck(spark, corpus_dir, index_dir):
     assert dic.count() == duck[1]
     assert dic.agg(F.sum("df")).collect()[0][0] == duck[2]
     assert posts.count() == duck[2]
+
+
+@pytest.mark.parametrize("q,k", [("the", 10), ("parse json response", 10), ("return", 100), ("the int return i", 10)])
+def test_pointer_wand_equals_exhaustive(spark, index_dir, corpus_docs, q, k, monkeypatch):
+    """The pointer (block-max pruning) kernel and the vectorized exhaustive
+    kernel must return identical answers; the threshold only picks which
+    one runs. Forces the pointer path by zeroing the threshold."""
+    from data_prepper_spark.query import wand as wand_mod
+
+    fast = _norm(
+        [(r.rank, r.doc_id, r.score) for r in bm25_topk_wand(spark, index_dir, q, k).collect()]
+    )
+    monkeypatch.setattr(wand_mod, "EXHAUSTIVE_THRESHOLD", -1)
+    slow = _norm(
+        [(r.rank, r.doc_id, r.score) for r in bm25_topk_wand(spark, index_dir, q, k).collect()]
+    )
+    want = _norm(oracle_topk(corpus_docs, q, k))
+    assert fast == want and slow == want
