@@ -774,6 +774,74 @@ def q_trace_group_fill(spark, sf_dir):
     return out.select("spanId", "traceGroup")
 
 
+GEO_RANGES = [
+    # (net_lo, net_hi, country): /16s inside 10.0/8, mirrors a prefix table
+    (10 * 16777216, 10 * 16777216 + 3 * 65536 - 1, "US"),
+    (10 * 16777216 + 3 * 65536, 10 * 16777216 + 7 * 65536 - 1, "DE"),
+    (10 * 16777216 + 100 * 65536, 10 * 16777216 + 140 * 65536 - 1, "JP"),
+]
+
+
+def q_geo_enrich(spark, sf_dir):
+    """Broadcast /16-bucketed range lookup (geoip analog) — BroadcastHashJoin,
+    not NestedLoop (operators/enrich.py geo_enrich)."""
+    from data_prepper_spark.operators.enrich import geo_enrich
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.format_string(
+            "10.%d.%d.%d",
+            F.col("user_id") % 200,
+            F.col("event_id") % 256,
+            (F.col("user_id") * 7) % 254 + 1,
+        ),
+    )
+    geo = spark.createDataFrame(GEO_RANGES, "net_lo long, net_hi long, country string")
+    out = geo_enrich(ev, "ip", geo)
+    return out.select("event_id", "ip", "country")
+
+
+def q_split_string(spark, sf_dir):
+    from data_prepper_spark.operators import mutate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "csv", F.format_string("%s|%d|%d", F.col("event_type"), F.col("user_id"), F.col("event_id"))
+    )
+    out = mutate.split_string(ev, [{"source": "csv", "delimiter": "|"}])
+    return out.select(
+        "event_id", F.concat_ws("~", F.col("csv")).alias("parts"), F.size("csv").alias("n_parts")
+    )
+
+
+def q_translate_regex(spark, sf_dir):
+    from data_prepper_spark.operators.translate import translate_regex
+
+    ev = _t(spark, sf_dir, "events")
+    out = translate_regex(
+        ev,
+        "props",
+        "k_class",
+        {r'"k": 9[0-9]': "high", r'"k": [5-8][0-9]': "mid"},
+        default="low",
+    )
+    return out.groupBy("k_class").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_trace_group_lookup(spark, sf_dir):
+    """Left-join trace-group backfill against a group index table
+    (otel_trace_group processor's OpenSearch terms query analog)."""
+    from data_prepper_spark.operators.trace import trace_group_lookup
+
+    spans = _spans(spark, sf_dir)
+    index = (
+        spans.where("traceGroup is not null")
+        .groupBy("traceId")
+        .agg(F.min("traceGroup").alias("traceGroup"))
+    )
+    out = trace_group_lookup(spans, index)
+    return out.select("spanId", "traceGroup")
+
+
 def q_obfuscate_redact(spark, sf_dir):
     from data_prepper_spark.operators.enrich import obfuscate
 
@@ -979,6 +1047,32 @@ def _extra_oracles() -> dict[str, str]:
                     union all by name select * from roots)
             select o.spanId, coalesce(o.traceGroup, r.traceGroup) as traceGroup
             from one o left join roots r on o.traceId = r.traceId""",
+        "geo_enrich": f"""
+            with ev as (select event_id,
+                        printf('10.%d.%d.%d', user_id % 200, event_id % 256,
+                               (user_id * 7) % 254 + 1) as ip,
+                        (10 * 16777216) + (user_id % 200) * 65536
+                          + (event_id % 256) * 256 + ((user_id * 7) % 254 + 1) as ip_num
+                        from events),
+            geo(net_lo, net_hi, country) as (values {", ".join(f"({lo}, {hi}, '{c}')" for lo, hi, c in GEO_RANGES)})
+            select event_id, ip, country
+            from ev left join geo on ip_num between net_lo and net_hi""",
+        "split_string": """
+            select event_id,
+                   event_type || '~' || cast(user_id as varchar) || '~' || cast(event_id as varchar) as parts,
+                   3 as n_parts
+            from events""",
+        "translate_regex": """
+            select case when regexp_matches(props, '"k": 9[0-9]') then 'high'
+                        when regexp_matches(props, '"k": [5-8][0-9]') then 'mid'
+                        else 'low' end as k_class, count(*) as n
+            from events group by 1""",
+        "trace_group_lookup": f"""
+            with spans as ({spans_sql}),
+            idx as (select traceId, min(traceGroup) as tg from spans
+                    where traceGroup is not null group by traceId)
+            select s.spanId, coalesce(s.traceGroup, i.tg) as traceGroup
+            from spans s left join idx i on s.traceId = i.traceId""",
         "obfuscate_redact": """
             select event_id, regexp_replace(props, '[0-9]+', '***', 'g') as props_masked
             from events""",
@@ -1103,6 +1197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_tail_sampler": q_agg_tail_sampler,
         "agg_rate_limiter": q_agg_rate_limiter,
         "service_map_edges": q_service_map_edges,
+        "trace_group_lookup": q_trace_group_lookup,
+        "geo_enrich": q_geo_enrich,
+        "split_string": q_split_string,
+        "translate_regex": q_translate_regex,
         "trace_group_fill": q_trace_group_fill,
         "obfuscate_redact": q_obfuscate_redact,
         "user_agent_parse": q_user_agent_parse,
