@@ -526,6 +526,18 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+PHRASE = "table scan"
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase match counts over the documents corpus (Lucene
+    match_phrase analog; query/phrase.py ad-hoc path, pure Catalyst)."""
+    from data_prepper_spark.query.phrase import phrase_match_adhoc
+
+    out = phrase_match_adhoc(_t(spark, sf_dir, "documents"), "text", "doc_id", PHRASE)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_text_quality(spark, sf_dir):
     return textstats.text_quality(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -644,6 +656,13 @@ def _textops_oracles() -> dict[str, str]:
                    cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
             from sig a join sig b on a.id < b.id
             where bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "phrase_search": f"""
+            with tk as (select doc_id, {toks} as toks from documents),
+            m as (select doc_id,
+                         cast(len(list_filter(range(len(toks) - 1),
+                              i -> toks[i+1] = 'table' and toks[i+2] = 'scan')) as int) as n_matches
+                  from tk)
+            select doc_id, n_matches from m where n_matches > 0""",
         "text_quality": f"""
             with t as (select doc_id, text, {toks} as toks from documents)
             select doc_id as id,
@@ -1185,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "phrase_search": q_phrase_search,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint,

@@ -1,0 +1,135 @@
+"""Phrase search: positional postings + exact-adjacency matching.
+
+The reference delegates phrase queries to OpenSearch/Lucene
+(`match_phrase` over Lucene's positional postings); the Spark-native
+analog is a positions table beside the inverted index:
+
+  positions(term_hash long, shard int, doc_id long, positions array<int>)
+
+partitioned by shard like posting_blocks, so a phrase query's scan is
+pruned to its terms' row groups per shard (bloom filter on term_hash).
+
+Two execution paths, both pure Catalyst (no UDF):
+
+- ``phrase_match_adhoc``: straight over the corpus — tokenize, then count
+  window starts where every phrase term matches at its offset
+  (`filter(sequence(...), i -> toks[i+j] = term_j …)`); the oracle path,
+  DuckDB-expressible, used by the driver query.
+- ``phrase_docs``: over the positions table — an n-way shard-local hash
+  join on (shard, doc_id) across the phrase's terms, then adjacency via
+  `filter(pos_0, p -> array_contains(pos_j, p+j) …)`. Only docs
+  containing ALL terms survive the joins (rare-term selectivity prunes
+  early), and the joins are co-located by the shard partitioning.
+  Asserted equal to the ad-hoc path in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analyzer import tokenize_py, tokens_col
+from ..index.build import doc_id_col, shard_col
+from ..tableio import TableIO
+from ..util import spread
+
+
+def positions_from_docs(source: DataFrame, n_shards: int = 64) -> DataFrame:
+    """(term_hash, shard, doc_id, positions sorted array<int>) from a
+    code_files-shaped source. posexplode + collect_list is one shuffle
+    with the same doc-space sharding as the main index."""
+    base = spread(source).select(
+        doc_id_col().alias("doc_id"), tokens_col("content").alias("toks")
+    )
+    exploded = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    )
+    return (
+        exploded.groupBy(F.xxhash64("term").alias("term_hash"), "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn("shard", shard_col(F.col("doc_id"), n_shards))
+    )
+
+
+def build_positions(
+    spark: SparkSession, source_path: str, out_dir: str, n_shards: int = 64
+) -> None:
+    """Write the positions table beside an index (same shard partitioning,
+    bloom filter on term_hash for pruned phrase scans)."""
+    io = TableIO(out_dir)
+    pos = positions_from_docs(spark.read.parquet(source_path), n_shards)
+    pos.repartition("shard").sortWithinPartitions("term_hash", "doc_id").write.mode(
+        "overwrite"
+    ).option("parquet.bloom.filter.enabled#term_hash", "true").partitionBy(
+        "shard"
+    ).parquet(io.path("positions"))
+
+
+def _adjacency_filter(pos_cols: list[Column]) -> Column:
+    """Positions p in pos_cols[0] such that p+j is in pos_cols[j] for all j."""
+    cond_tail = pos_cols[1:]
+
+    def ok(p: Column) -> Column:
+        c = F.lit(True)
+        for j, pc in enumerate(cond_tail, start=1):
+            c = c & F.array_contains(pc, p + j)
+        return c
+
+    return F.filter(pos_cols[0], ok)
+
+
+def phrase_docs(
+    spark: SparkSession, index_dir: str, phrase: str, n_shards: int = 64
+) -> DataFrame:
+    """(doc_id, n_matches) for documents containing the exact phrase,
+    from the positions table."""
+    io = TableIO(index_dir)
+    terms = tokenize_py(phrase)
+    empty = "doc_id long, n_matches int"
+    if not terms:
+        return spark.createDataFrame([], empty)
+    pos = spark.read.parquet(io.path("positions"))
+    cur = None
+    pos_cols = []
+    for j, t in enumerate(terms):
+        h = _term_hash_literal(spark, t)
+        tj = (
+            pos.where(F.col("term_hash") == h)
+            .select("shard", "doc_id", F.col("positions").alias(f"pos_{j}"))
+        )
+        cur = tj if cur is None else cur.join(tj, ["shard", "doc_id"])
+        pos_cols.append(F.col(f"pos_{j}"))
+    matched = cur.withColumn("__m", _adjacency_filter(pos_cols)).where(F.size("__m") > 0)
+    return matched.select("doc_id", F.size("__m").cast("int").alias("n_matches"))
+
+
+def _term_hash_literal(spark: SparkSession, term: str):
+    """xxhash64 of a literal term, computed JVM-side once (driver)."""
+    return spark.range(1).select(F.xxhash64(F.lit(term))).collect()[0][0]
+
+
+def phrase_match_adhoc(
+    docs: DataFrame, content_col: str, id_col: str, phrase: str
+) -> DataFrame:
+    """(id, n_matches) straight over the corpus — the index-free/oracle
+    path. Pure Catalyst: one pass over the token array per doc."""
+    terms = tokenize_py(phrase)
+    n = len(terms)
+    assert n > 0, "empty phrase after analysis"
+    toked = spread(
+        docs.select(F.col(id_col).alias("id"), tokens_col(content_col).alias("toks"))
+    )
+    toks = F.col("toks")
+    starts = F.sequence(F.lit(0), F.size(toks) - n)  # empty when size < n
+
+    def window_ok(i: Column) -> Column:
+        c = F.lit(True)
+        for j, t in enumerate(terms):
+            c = c & (F.element_at(toks, i + j + 1) == t)
+        return c
+
+    matches = F.when(F.size(toks) >= n, F.size(F.filter(starts, window_ok))).otherwise(0)
+    return (
+        toked.select("id", matches.cast("int").alias("n_matches"))
+        .where(F.col("n_matches") > 0)
+    )

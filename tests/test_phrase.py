@@ -1,0 +1,50 @@
+"""Phrase search: positional index path == ad-hoc Catalyst path."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_prepper_spark.query.phrase import (
+    build_positions,
+    phrase_docs,
+    phrase_match_adhoc,
+)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("posidx"))
+    build_positions(spark, corpus_dir, d, n_shards=8)
+    return d
+
+
+def _counts(df, id_col="id"):
+    return {r[id_col]: r["n_matches"] for r in df.collect()}
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    ["def", "return self", "for i in range", "zzz absent phrase", "the the"],
+)
+def test_indexed_equals_adhoc(spark, corpus_dir, pos_index, phrase):
+    docs = spark.read.parquet(corpus_dir)
+    # adhoc path ids must be the same doc_id the index uses
+    from data_prepper_spark.index.build import doc_id_col
+
+    docs_id = docs.withColumn("did", doc_id_col())
+    adhoc = _counts(phrase_match_adhoc(docs_id, "content", "did", phrase))
+    indexed = _counts(phrase_docs(spark, pos_index, phrase, n_shards=8), id_col="doc_id")
+    assert adhoc == indexed
+
+
+def test_some_phrase_matches_exist(spark, corpus_dir, pos_index):
+    got = phrase_docs(spark, pos_index, "def", n_shards=8).count()
+    assert got > 0  # non-vacuous: corpus is synthetic code, 'def' is everywhere
+
+
+def test_multi_term_adjacency_strict(spark):
+    rows = [(1, "alpha beta gamma"), (2, "alpha gamma beta"), (3, "alpha beta alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["n_matches"] for r in
+           phrase_match_adhoc(df, "text", "doc_id", "alpha beta").collect()}
+    assert got == {1: 1, 3: 2}
