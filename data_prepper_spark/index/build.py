@@ -20,7 +20,7 @@ Spark build. Design choices, justified for a 1000-executor / 100 TB corpus:
   and corpus_stats are partial-agg rollups that reuse those outputs.
 
 - **Vectorized-only Python.** The single non-JVM step is the block encoder
-  (applyInPandas, Arrow batches, numpy varint codec). Tokenize/explode/
+  (applyInPandas, Arrow batches, numpy tagged codec: bit-packed by default, varint fallback). Tokenize/explode/
   count/aggregate are all whole-stage-codegen built-ins.
 
 - **Resumable** via a build ledger (the analog of the reference's
@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 from ..analyzer import tokens_col
 from ..tableio import TableIO
 from ..util import spread
-from .varint import encode_varints_segmented
+from .varint import encode_payload_segmented
 
 K1 = 1.2
 B = 0.75
@@ -105,13 +105,15 @@ def postings_from_docs(with_tokens: DataFrame, n_shards: int) -> DataFrame:
     )
 
 
-def _shard_block_builder(avgdl: float, block_size: int) -> Callable:
+def _shard_block_builder(avgdl: float, block_size: int, codec: str = "bitpack") -> Callable:
     """Vectorized whole-shard block encoder.
 
     One pandas frame per *shard* (not per term): sort by (term, doc_id),
     find term-run and block boundaries with numpy, `maximum.reduceat` the
-    block maxima, and varint-encode gaps/tfs/dls for ALL blocks in three
-    vectorized passes (`encode_varints_segmented`), slicing per-block
+    block maxima, and encode gaps/tfs/dls for ALL blocks in three
+    vectorized passes (`encode_payload_segmented`: FastLanes-style
+    bit-packing at each block's max width, varint for >57-bit outliers;
+    buffers are tag-prefixed so mixed codecs coexist), slicing per-block
     buffers by precomputed byte offsets. Replaces a per-(term,shard)
     applyInPandas that built ~1 pandas frame per term — two orders of
     magnitude fewer Python/pandas round-trips. Group memory = one shard's
@@ -146,9 +148,9 @@ def _shard_block_builder(avgdl: float, block_size: int) -> Callable:
         gaps_all = np.empty(n, dtype=np.uint64)
         gaps_all[0] = 0
         gaps_all[1:] = doc_ids[1:].astype(np.uint64) - doc_ids[:-1].astype(np.uint64)
-        gap_bufs = encode_varints_segmented(gaps_all[~new_block], counts - 1)
-        tf_bufs = encode_varints_segmented(tfs.astype(np.uint64), counts)
-        dl_bufs = encode_varints_segmented(dls.astype(np.uint64), counts)
+        gap_bufs = encode_payload_segmented(gaps_all[~new_block], counts - 1, codec)
+        tf_bufs = encode_payload_segmented(tfs.astype(np.uint64), counts, codec)
+        dl_bufs = encode_payload_segmented(dls.astype(np.uint64), counts, codec)
         return pd.DataFrame(
             {
                 "term_hash": hashes[block_start],
@@ -167,12 +169,14 @@ def _shard_block_builder(avgdl: float, block_size: int) -> Callable:
     return build
 
 
-def blocks_from_postings(postings: DataFrame, avgdl: float, block_size: int = 128) -> DataFrame:
+def blocks_from_postings(
+    postings: DataFrame, avgdl: float, block_size: int = 128, codec: str = "bitpack"
+) -> DataFrame:
     slim = postings.select(
         F.xxhash64("term").alias("term_hash"), "shard", "doc_id", "tf", "doc_len"
     )
     return slim.groupBy("shard").applyInPandas(
-        _shard_block_builder(avgdl, block_size), BLOCKS_SCHEMA
+        _shard_block_builder(avgdl, block_size, codec), BLOCKS_SCHEMA
     )
 
 

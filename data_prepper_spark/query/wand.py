@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..analyzer import tokenize_py
 from ..tableio import TableIO
 from .common import K1, B, load_stats, query_term_stats
-from ..index.varint import decode_doc_ids, decode_varints
+from ..index.varint import decode_doc_ids_payload, decode_payload
 
 _INF = np.iinfo(np.int64).max
 _EPS = 1e-12
@@ -75,9 +75,9 @@ class _Cursor:
             return
         n = int(self.n_in_block[bi])
         self.bi = bi
-        self.docs = decode_doc_ids(int(self.firsts[bi]), self.gaps[bi], n)
-        self.tfs = decode_varints(self.tfs_b[bi], n).astype(np.float64)
-        self.dls = decode_varints(self.dls_b[bi], n).astype(np.float64)
+        self.docs = decode_doc_ids_payload(int(self.firsts[bi]), self.gaps[bi], n)
+        self.tfs = decode_payload(self.tfs_b[bi], n).astype(np.float64)
+        self.dls = decode_payload(self.dls_b[bi], n).astype(np.float64)
         self.pos = 0
 
     @property
@@ -146,9 +146,9 @@ def _exhaustive_shard(
             bdf["first_doc_id"], bdf["doc_gaps"], bdf["tfs"], bdf["dls"], bdf["n_docs"]
         ):
             n = int(n)
-            docs = decode_doc_ids(int(first), gaps, n)
-            tf = decode_varints(tfs_b, n).astype(np.float64)
-            dl = decode_varints(dls_b, n).astype(np.float64)
+            docs = decode_doc_ids_payload(int(first), gaps, n)
+            tf = decode_payload(tfs_b, n).astype(np.float64)
+            dl = decode_payload(dls_b, n).astype(np.float64)
             doc_parts.append(docs)
             score_parts.append(idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl)))
     if not doc_parts:

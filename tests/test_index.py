@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_prepper_spark.index.build import build_index
-from data_prepper_spark.index.varint import decode_doc_ids, decode_varints
+from data_prepper_spark.index.varint import decode_doc_ids_payload, decode_payload
 
 
 def test_doc_ids_unique(spark, index_dir):
@@ -70,9 +70,9 @@ def test_blocks_roundtrip_and_blockmax(spark, index_dir):
     }
     rebuilt = {}
     for r in spark.read.parquet(f"{index_dir}/posting_blocks").collect():
-        docs = decode_doc_ids(r.first_doc_id, bytes(r.doc_gaps), r.n_docs)
-        tfs = decode_varints(bytes(r.tfs), r.n_docs)
-        dls = decode_varints(bytes(r.dls), r.n_docs)
+        docs = decode_doc_ids_payload(r.first_doc_id, bytes(r.doc_gaps), r.n_docs)
+        tfs = decode_payload(bytes(r.tfs), r.n_docs)
+        dls = decode_payload(bytes(r.dls), r.n_docs)
         assert (np.diff(docs) > 0).all()  # strictly increasing in block
         assert int(tfs.max()) <= r.block_max_tf
         for d, tf, dl in zip(docs, tfs, dls):
