@@ -552,6 +552,27 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_training_data_pipeline(spark, sf_dir):
+    """Composed training-data curation pipeline over documents: exact
+    dedup (keep smallest id per digest) -> quality filter (drop shorts &
+    high-punct) -> language ID -> fingerprint. One declarative plan; the
+    oracle recomputes the whole chain in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = dedupe.exact_dedupe(docs, "text", "doc_id").select(
+        F.col("doc_id").alias("keep_id")
+    )
+    kept = docs.join(keep, docs.doc_id == keep.keep_id).drop("keep_id")
+    quality = textstats.text_quality(kept, "text", "doc_id")
+    good_ids = quality.where(
+        (~F.col("is_short")) & (F.col("punct_ratio") < 0.3)
+    ).select("id")
+    lang = textstats.lang_id(kept, "text", "doc_id").join(good_ids, "id")
+    fp = textstats.fingerprint(kept, "text", "doc_id").select("id", "fingerprint_md5")
+    return lang.join(fp, "id").select(
+        F.col("id").alias("doc_id"), "pred_lang", "marker_hits", "fingerprint_md5"
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return multimodal.extract_metadata(multimodal.attach_binary(docs, "text", "doc_id"))
@@ -692,6 +713,25 @@ def _textops_oracles() -> dict[str, str]:
         "fingerprint_md5": f"""
             select doc_id as id, md5(array_to_string({toks}, ' ')) as fingerprint_md5
             from documents""",
+        "training_data_pipeline": f"""
+            with tk as (select doc_id, text, {toks} as toks from documents),
+            keep as (select min(doc_id) as doc_id from documents group by md5(text)),
+            kept as (select t.* from tk t join keep using(doc_id)),
+            q as (select doc_id,
+                    len(toks) < 10 as is_short,
+                    case when length(text) > 0
+                         then length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                         else 0.0 end as punct_ratio
+                  from kept),
+            good as (select doc_id from q where not is_short and punct_ratio < 0.3),
+            c as (select doc_id, {cnt_cols} from kept),
+            m as (select doc_id, {mx} as mx, * from c),
+            lang as (select doc_id,
+                            case when mx = 0 then 'unknown' {pred_chain} end as pred_lang,
+                            cast(mx as int) as marker_hits from m),
+            fp as (select doc_id, md5(array_to_string(toks, ' ')) as fingerprint_md5 from kept)
+            select l.doc_id, pred_lang, marker_hits, fingerprint_md5
+            from lang l join good using(doc_id) join fp using(doc_id)""",
         "multimodal_meta": """
             select doc_id as id, cast(octet_length(encode(text)) as bigint) as n_bytes,
                    md5(text) as md5, 'image' as modality
@@ -1209,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "training_data_pipeline": q_training_data_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "agg_put_all": q_agg_put_all,
