@@ -144,6 +144,7 @@ class IndexQueryEngine:
             return self.spark.createDataFrame([], empty)
         avgdl, n = self.avgdl, k
         from .wand import EXHAUSTIVE_THRESHOLD as thr
+        from .wand import batch_exhaustive_shard
 
         import pandas as pd
 
@@ -155,6 +156,11 @@ class IndexQueryEngine:
             rows = []
             for s, parts in buf.items():
                 shard_df = pd.concat(parts)
+                if int(shard_df["n_docs"].sum()) <= thr:
+                    # decode-once batch kernel: each term's blocks decoded
+                    # a single time for ALL queries in the batch
+                    rows.extend(batch_exhaustive_shard(shard_df, per_q, avgdl, n))
+                    continue
                 for qid, hstats in per_q.items():
                     if not hstats:
                         continue

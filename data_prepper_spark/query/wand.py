@@ -150,7 +150,8 @@ def _exhaustive_shard(
             tf = decode_payload(tfs_b, n).astype(np.float64)
             dl = decode_payload(dls_b, n).astype(np.float64)
             doc_parts.append(docs)
-            score_parts.append(idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl)))
+            # association matches batch_exhaustive_shard: idf * (wtf)
+            score_parts.append(idf * ((tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))))
     if not doc_parts:
         return []
     docs = np.concatenate(doc_parts)
@@ -174,6 +175,75 @@ def _exhaustive_shard(
 # below this many postings (block metadata, no decode needed) per shard the
 # vectorized exhaustive path wins; above it, theta/block-max pruning pays.
 EXHAUSTIVE_THRESHOLD = 200_000
+
+
+def _topk_from_arrays(
+    docs: np.ndarray, scores: np.ndarray, k: int
+) -> list[tuple[int, float]]:
+    """Segment-sum per doc + exact top-k (score desc, doc asc) — the shared
+    tail of the exhaustive kernels."""
+    order = np.argsort(docs, kind="stable")
+    d, s = docs[order], scores[order]
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    sums = np.add.reduceat(s, starts)
+    uniq = d[starts]
+    if len(sums) > k:
+        boundary = sums[np.argpartition(-sums, k - 1)[:k]].min()
+        cand = np.flatnonzero(sums >= boundary)
+        sel = cand[np.lexsort((uniq[cand], -sums[cand]))]
+    else:
+        sel = np.lexsort((uniq, -sums))
+    return [(int(uniq[i]), float(sums[i])) for i in sel[:k]]
+
+
+def batch_exhaustive_shard(
+    shard_df: pd.DataFrame,
+    per_q: dict[str, dict[int, dict]],
+    avgdl: float,
+    k: int,
+) -> list[tuple[str, int, float]]:
+    """Many queries over one shard with EACH TERM'S BLOCKS DECODED ONCE.
+
+    The per-query kernels re-decode a term's blocks for every query that
+    contains it; a search tier's request batch has heavy term overlap
+    (stopword-ish code tokens appear in most queries), so the batch path
+    instead decodes per term: (docs, idf-free wtf) arrays built once, then
+    each query concatenates views of its terms' arrays, scales by its idf,
+    and runs the shared vectorized top-k. Python cost per query drops to
+    O(n_terms) list ops + numpy."""
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    wanted = set()
+    for hstats in per_q.values():
+        wanted.update(hstats)
+    for th, bdf in shard_df.groupby("term_hash"):
+        th = int(th)
+        if th not in wanted:
+            continue
+        doc_parts, wtf_parts = [], []
+        for first, gaps, tfs_b, dls_b, n in zip(
+            bdf["first_doc_id"], bdf["doc_gaps"], bdf["tfs"], bdf["dls"], bdf["n_docs"]
+        ):
+            n = int(n)
+            doc_parts.append(decode_doc_ids_payload(int(first), gaps, n))
+            tf = decode_payload(tfs_b, n).astype(np.float64)
+            dl = decode_payload(dls_b, n).astype(np.float64)
+            wtf_parts.append((tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl)))
+        decoded[th] = (np.concatenate(doc_parts), np.concatenate(wtf_parts))
+    out: list[tuple[str, int, float]] = []
+    for qid, hstats in per_q.items():
+        doc_parts, score_parts = [], []
+        for th, st in hstats.items():
+            hit = decoded.get(int(th))
+            if hit is not None:
+                doc_parts.append(hit[0])
+                score_parts.append(st["idf"] * hit[1])
+        if not doc_parts:
+            continue
+        for doc, score in _topk_from_arrays(
+            np.concatenate(doc_parts), np.concatenate(score_parts), k
+        ):
+            out.append((qid, doc, score))
+    return out
 
 
 def _wand_shard(

@@ -82,3 +82,19 @@ def test_pointer_wand_equals_exhaustive(spark, index_dir, corpus_docs, q, k, mon
     )
     want = _norm(oracle_topk(corpus_docs, q, k))
     assert fast == want and slow == want
+
+
+def test_batch_equals_per_query(spark, index_dir):
+    """topk_batch (decode-once batch kernel) must be rank-identical to
+    per-query topk for every query in the batch."""
+    from data_prepper_spark.query.engine import IndexQueryEngine
+
+    eng = IndexQueryEngine(spark, index_dir, persist_blocks=False)
+    qmap = {f"q{i}": q for i, (q, _) in enumerate(QUERIES[:6])}
+    batch = eng.topk_batch(qmap, 10).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], round(r["score"], 6)))
+    for qid, q in qmap.items():
+        single = _norm([(r.rank, r.doc_id, r.score) for r in eng.topk(q, 10).collect()])
+        assert sorted(got.get(qid, [])) == sorted(single), qid
