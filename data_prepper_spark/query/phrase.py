@@ -108,6 +108,56 @@ def _term_hash_literal(spark: SparkSession, term: str):
     return spark.range(1).select(F.xxhash64(F.lit(term))).collect()[0][0]
 
 
+def phrase_topk(
+    spark: SparkSession, index_dir: str, phrase: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score, n_matches): documents containing the EXACT
+    phrase, ranked by the BM25 score of the phrase's terms (Lucene
+    match_phrase + relevance analog).
+
+    Plan: positions-table adjacency join (phrase_docs) produces the
+    candidate set; the postings table scores the phrase's distinct terms
+    (term-pruned scan + broadcast idf join); a semi-ish inner join keeps
+    scores for matching docs only, then TakeOrderedAndProject. Both sides
+    are shard/doc-partitioned tables of the same index — no full scan.
+    """
+    from .bm25 import score_expr
+    from .common import load_stats, query_term_stats
+
+    io = TableIO(index_dir)
+    n_docs, avgdl = load_stats(spark, io)
+    terms = sorted(set(tokenize_py(phrase)))
+    empty = "rank int, doc_id long, score double, n_matches int"
+    tstats = query_term_stats(spark, io, terms, n_docs)
+    if not tstats:
+        return spark.createDataFrame([], empty)
+    matches = phrase_docs(spark, index_dir, phrase)
+    idf_df = spark.createDataFrame(
+        [(t, s["idf"]) for t, s in tstats.items()], "term string, idf double"
+    )
+    posts = io.read(spark, "postings").where(F.col("term").isin(list(tstats)))
+    scored = (
+        posts.join(F.broadcast(idf_df), "term")
+        .select(
+            "doc_id",
+            score_expr(F.col("idf"), F.col("tf"), F.col("doc_len"), avgdl).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    topk = (
+        matches.join(scored, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return topk.select(w.alias("rank"), "doc_id", "score", "n_matches")
+
+
 def phrase_match_adhoc(
     docs: DataFrame, content_col: str, id_col: str, phrase: str
 ) -> DataFrame:

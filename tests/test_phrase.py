@@ -48,3 +48,29 @@ def test_multi_term_adjacency_strict(spark):
     got = {r["id"]: r["n_matches"] for r in
            phrase_match_adhoc(df, "text", "doc_id", "alpha beta").collect()}
     assert got == {1: 1, 3: 2}
+
+
+def test_phrase_topk_ranked(spark, corpus_dir, pos_index, index_dir):
+    """phrase_topk = phrase filter + BM25 ranking: every returned doc
+    contains the phrase, scores equal the terms' BM25 scores, order is
+    (score desc, doc asc)."""
+    from data_prepper_spark.query.bm25 import bm25_topk
+    from data_prepper_spark.query.phrase import phrase_topk
+
+    # positions live beside the main index for this test
+    import shutil
+
+    shutil.copytree(f"{pos_index}/positions", f"{index_dir}/positions", dirs_exist_ok=True)
+    phrase = "return self"
+    got = phrase_topk(spark, index_dir, phrase, k=10).collect()
+    assert got, "corpus should contain the phrase"
+    matching = {r["doc_id"] for r in
+                phrase_docs(spark, index_dir, phrase, n_shards=8).collect()}
+    assert {r["doc_id"] for r in got} <= matching
+    # scores match the unfiltered BM25 of the same terms for those docs
+    full = {r.doc_id: round(r.score, 6)
+            for r in bm25_topk(spark, index_dir, phrase, k=10**6).collect()}
+    for r in got:
+        assert round(r["score"], 6) == full[r["doc_id"]]
+    scores = [(r["rank"], -r["score"], r["doc_id"]) for r in got]
+    assert scores == sorted(scores)
