@@ -52,17 +52,34 @@ def obfuscate(
 
 # (family regex, browser label) — first match wins, like uap-core ordering
 _UA_BROWSERS = [
+    (r"OPR/(\d+[\.\d]*)", "Opera"),
+    (r"Opera[/ ](\d+[\.\d]*)", "Opera"),
+    (r"SamsungBrowser/(\d+[\.\d]*)", "Samsung Internet"),
+    (r"Edg(?:e|A|iOS)?/(\d+[\.\d]*)", "Edge"),
     (r"Firefox/(\d+[\.\d]*)", "Firefox"),
-    (r"Edg/(\d+[\.\d]*)", "Edge"),
+    (r"FxiOS/(\d+[\.\d]*)", "Firefox iOS"),
+    (r"CriOS/(\d+[\.\d]*)", "Chrome Mobile iOS"),
+    (r"HeadlessChrome/(\d+[\.\d]*)", "HeadlessChrome"),
     (r"Chrome/(\d+[\.\d]*)", "Chrome"),
     (r"Version/(\d+[\.\d]*).*Safari", "Safari"),
+    (r"MSIE (\d+[\.\d]*)", "IE"),
+    (r"Trident/.*rv:(\d+[\.\d]*)", "IE"),
     (r"curl/(\d+[\.\d]*)", "curl"),
+    (r"[Ww]get/(\d+[\.\d]*)", "Wget"),
+    (r"python-requests/(\d+[\.\d]*)", "Python Requests"),
+    (r"Googlebot/(\d+[\.\d]*)", "Googlebot"),
+    (r"bingbot/(\d+[\.\d]*)", "BingBot"),
 ]
 _UA_OS = [
+    (r"Windows Phone", "Windows Phone"),
     (r"Windows NT [\d\.]+", "Windows"),
-    (r"Mac OS X", "Mac OS X"),
+    (r"CrOS", "Chrome OS"),
     (r"Android", "Android"),
-    (r"iPhone OS|iOS", "iOS"),
+    # iOS before Mac OS X: iPhone/iPad UAs end with "... like Mac OS X"
+    (r"iPhone OS|iPad; CPU OS|iOS", "iOS"),
+    (r"Mac OS X", "Mac OS X"),
+    (r"FreeBSD", "FreeBSD"),
+    (r"Ubuntu", "Ubuntu"),
     (r"Linux", "Linux"),
 ]
 

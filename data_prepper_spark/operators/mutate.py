@@ -103,13 +103,40 @@ def list_to_map(
     target: str,
     key_name: str,
     value_key: str | None = None,
+    flatten: bool = True,
+    flattened_element: str = "last",
 ) -> DataFrame:
-    """Array-of-structs -> map keyed by ``key_name`` (ListToMapProcessor).
+    """Array-of-structs -> map keyed by ``key_name`` (ListToMapProcessor.java:
+    105-115).
 
-    value_key=None keeps the whole struct as the value.
+    value_key=None keeps the whole struct as the value. Duplicate keys:
+    with ``flatten`` the 'first' or 'last' occurrence wins (reference
+    FlattenedElement semantics; map_from_entries alone would THROW under
+    Spark's default dedup policy); with ``flatten=False`` values
+    accumulate into arrays per key, the reference's default
+    list-accumulation shape (our default stays flatten=True because a
+    map<string, scalar> is the shape downstream column references use).
     """
     val = (lambda x: x[value_key]) if value_key else (lambda x: x)
-    pairs = F.transform(F.col(source), lambda x: F.struct(x[key_name].alias("key"), val(x).alias("value")))
+    src = F.col(source)
+    keys = F.transform(src, lambda x: x[key_name])
+    if not flatten:
+        uniq = F.array_distinct(keys)
+        vals = F.transform(
+            uniq,
+            lambda k: F.transform(F.filter(src, lambda x: x[key_name] == k), val),
+        )
+        return df.withColumn(target, F.map_from_arrays(uniq, vals))
+    if flattened_element == "first":
+        pick = lambda x, i: F.array_position(keys, x[key_name]) == i + 1
+    else:
+        assert flattened_element == "last", flattened_element
+        rev_pos = lambda x: F.size(keys) - F.array_position(F.reverse(keys), x[key_name]) + 1
+        pick = lambda x, i: rev_pos(x) == i + 1
+    entries = F.filter(src, pick)
+    pairs = F.transform(
+        entries, lambda x: F.struct(x[key_name].alias("key"), val(x).alias("value"))
+    )
     return df.withColumn(target, F.map_from_entries(pairs))
 
 

@@ -190,3 +190,42 @@ def test_geo_enrich_bucketed_hash_join(spark):
     # legacy path still correct
     got2 = {r["ip"]: r["country"] for r in geo_enrich(df, "ip", geo, bucketed=False).collect()}
     assert got2 == got
+
+
+def test_list_to_map_flatten_and_accumulate(spark):
+    from data_prepper_spark.operators.mutate import list_to_map
+
+    rows = [([("a", 1), ("b", 2), ("a", 3)],)]
+    df = spark.createDataFrame(rows, "kvs array<struct<k string, v int>>")
+    last = list_to_map(df, "kvs", "m", "k", "v").collect()[0]["m"]
+    assert dict(last) == {"a": 3, "b": 2}
+    first = list_to_map(df, "kvs", "m", "k", "v", flattened_element="first").collect()[0]["m"]
+    assert dict(first) == {"a": 1, "b": 2}
+    acc = list_to_map(df, "kvs", "m", "k", "v", flatten=False).collect()[0]["m"]
+    assert {k: list(v) for k, v in acc.items()} == {"a": [1, 3], "b": [2]}
+
+
+def test_user_agent_extended_families(spark):
+    from data_prepper_spark.operators.enrich import user_agent
+
+    rows = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/120.0 Safari/537 Edg/120.0.2210",),
+        ("Mozilla/5.0 (X11; Linux) Chrome/118.0 Safari/537 OPR/104.0.4944",),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) CriOS/119.0 Safari/604",),
+        ("Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",),
+        ("python-requests/2.31.0",),
+        ("Mozilla/5.0 (X11; CrOS x86_64) Chrome/117.0 Safari/537",),
+        ("Mozilla/5.0 (Linux; Android 14; Pixel 8) Chrome/120.0 Mobile Safari/537",),
+    ]
+    df = spark.createDataFrame(rows, "ua string")
+    out = [r["user_agent"] for r in user_agent(df, "ua").collect()]
+    got = [(o["name"], o["os"]) for o in out]
+    assert got == [
+        ("Edge", "Windows"),
+        ("Opera", "Linux"),
+        ("Chrome Mobile iOS", "iOS"),
+        ("IE", "Windows"),
+        ("Python Requests", "Other"),
+        ("Chrome", "Chrome OS"),
+        ("Chrome", "Android"),
+    ]
