@@ -508,6 +508,19 @@ def q_minhash_verified_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: exact-Jaccard pairs -> connected components ->
+    (doc_id, component) keep-set labels. The oracle recomputes components
+    with a recursive transitive-closure CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedupe.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, shingle_n=1,
+        max_shingle_df=JACCARD_DF_CUTOFF,
+    )
+    comp = dedupe.connected_components(pairs, docs.select("doc_id"))
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def q_simhash(spark, sf_dir):
     """Oracle-recomputable signature: md5-derived 60-bit token hash (DuckDB
     recomputes the identical simhash in SQL)."""
@@ -668,6 +681,30 @@ def _textops_oracles() -> dict[str, str]:
             from common join sizes sa on sa.id = id_a join sizes sb on sb.id = id_b
             where c / (sa.sz + sb.sz - c) >= 0.5""",
         "minhash_verified_pairs": _jaccard2_oracle(toks, 0.8),
+        "dedup_clusters": f"""
+            with recursive sh0 as (select distinct doc_id as id, term as sh
+                         from (select doc_id, unnest({toks}) as term from documents)),
+            dfreq as (select sh, count(*) as df from sh0 group by sh),
+            sh as (select id, s.sh from sh0 s join dfreq using(sh)
+                   where df <= {JACCARD_DF_CUTOFF}),
+            sizes as (select id, count(*) as sz from sh group by id),
+            common as (
+              select l.id as id_a, r.id as id_b, count(*) as c
+              from sh l join sh r on l.sh = r.sh and l.id < r.id
+              group by l.id, r.id),
+            pairs as (
+              select id_a, id_b
+              from common join sizes sa on sa.id = id_a join sizes sb on sb.id = id_b
+              where c / (sa.sz + sb.sz - c) >= 0.5),
+            edges as (select id_a as src, id_b as dst from pairs
+                      union select id_b, id_a from pairs),
+            reach(id, r) as (
+              select doc_id, doc_id from documents
+              union
+              select r.id, e.dst from reach r join edges e on e.src = r.r),
+            comp as (select id, min(r) as component from reach group by id)
+            select d.doc_id, c.component
+            from documents d join comp c on c.id = d.doc_id""",
         "simhash": f"""
             with {_simhash60_sig_sql(toks)}
             select id, simhash from sig""",
@@ -1240,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_roundtrip": q_date_roundtrip,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "simhash": q_simhash,

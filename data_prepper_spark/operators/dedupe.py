@@ -299,3 +299,57 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) — component = smallest id reachable through the
+    near-dup pair graph. The canonical "which docs are the same document"
+    step between pair generation (minhash/simhash/jaccard) and keep-set
+    selection: keep id == component, drop the rest.
+
+    Algorithm: iterative min-label propagation over the undirected edge
+    list (each round: label(v) = min(label(v), min over neighbors'
+    labels)) with a driver-side convergence check on an Observation-free
+    count of changed labels. Rounds needed = graph diameter; near-dup
+    graphs are unions of small cliques (diameter ~1-2), so this converges
+    in 2-3 rounds — the reason plain propagation beats the fancier
+    large-star/small-star dance here. Each round is one shuffle
+    (groupBy(id) after the edge join); ``localCheckpoint`` every round
+    truncates the growing lineage so round N+1 doesn't replay round N.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    if ids is None:
+        nodes = edges.select(F.col("src").alias("id")).distinct()
+    else:
+        nodes = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+    labels = nodes.withColumn("component", F.col("id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component")).alias("__chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where("__chg").limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels

@@ -170,3 +170,32 @@ def test_write_bucketed_partition_prunes(emb, tmp_path):
     assert "PartitionFilters: [" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
     got = similarity.lsh_topk(table, [0.1] * dim, dim=dim, k=5, n_planes=4)
     assert got.count() <= 5
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation: a path graph (worst diameter case), a
+    clique, an isolated node."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "id long")
+    got = {r["id"]: r["component"] for r in
+           dedupe.connected_components(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_on_real_pairs(docs):
+    """Every pair's two ends share a component; keep-set = component reps."""
+    pairs = dedupe.jaccard_pairs(docs, "text", "doc_id", threshold=0.5, shingle_n=1,
+                                 max_shingle_df=100)
+    comp = dedupe.connected_components(pairs, docs.select("doc_id"))
+    labels = {r["id"]: r["component"] for r in comp.collect()}
+    for r in pairs.collect():
+        assert labels[r["id_a"]] == labels[r["id_b"]]
+    # representative is the smallest member of its component
+    by_comp = {}
+    for i, c in labels.items():
+        by_comp.setdefault(c, []).append(i)
+    for c, members in by_comp.items():
+        assert c == min(members)

@@ -81,3 +81,23 @@ def test_bitpack_smaller_on_wide_gaps():
     v = encode_payload_segmented(g, np.array([127]), "varint")[0]
     b = encode_payload_segmented(g, np.array([127]), "bitpack")[0]
     assert len(b) < len(v) * 0.9  # >=10% smaller on hash-spread gaps
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=0, max_size=150),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from(["varint", "bitpack"]),
+)
+def test_payload_segmented_property(seg_lists, codec):
+    from data_prepper_spark.index.varint import decode_payload, encode_payload_segmented
+
+    vals = np.array([v for seg in seg_lists for v in seg], dtype=np.uint64)
+    lens = np.array([len(seg) for seg in seg_lists], dtype=np.int64)
+    bufs = encode_payload_segmented(vals, lens, codec)
+    assert len(bufs) == len(seg_lists)
+    for seg, buf in zip(seg_lists, bufs):
+        assert decode_payload(buf, len(seg)).tolist() == seg
