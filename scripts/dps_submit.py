@@ -50,6 +50,27 @@ def main() -> None:
     g.add_argument("--sf", type=float, required=True)
     g.add_argument("--out", required=True)
 
+    a = sub.add_parser("add", help="incremental: ingest new files into an existing index")
+    a.add_argument("--source", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--n-shards", type=int, default=64)
+    a.add_argument("--units", type=int, default=1)
+    a.add_argument("--block-size", type=int, default=128)
+
+    r = sub.add_parser("refresh", help="re-merge blocks + dictionary over all committed units")
+    r.add_argument("--index", required=True)
+    r.add_argument("--block-size", type=int, default=128)
+
+    p = sub.add_parser("phrase", help="exact-phrase top-k (needs positions table)")
+    p.add_argument("--index", required=True)
+    p.add_argument("--q", required=True, nargs="+")
+    p.add_argument("--k", type=int, default=10)
+
+    bp = sub.add_parser("build-positions", help="positional postings for phrase queries")
+    bp.add_argument("--source", required=True)
+    bp.add_argument("--index", required=True)
+    bp.add_argument("--n-shards", type=int, default=64)
+
     args = ap.parse_args()
 
     from data_prepper_spark.session import get_spark
@@ -84,6 +105,30 @@ def main() -> None:
 
         write_code_files(spark, args.sf, args.out)
         print(f"wrote {spark.read.parquet(args.out).count()} rows to {args.out}")
+    elif args.cmd == "add":
+        from data_prepper_spark.index.build import add_to_index
+
+        res = add_to_index(
+            spark, args.source, args.index,
+            n_shards=args.n_shards, block_size=args.block_size, units=args.units,
+        )
+        print(f"index now: n_docs={res.n_docs} avgdl={res.avgdl:.2f}")
+    elif args.cmd == "refresh":
+        from data_prepper_spark.index.build import refresh_index
+
+        res = refresh_index(spark, args.index, block_size=args.block_size)
+        print(f"refreshed: n_docs={res.n_docs} avgdl={res.avgdl:.2f}")
+    elif args.cmd == "phrase":
+        from data_prepper_spark.query.phrase import phrase_topk
+
+        for qtext in args.q:
+            print(f"phrase: {qtext!r}")
+            phrase_topk(spark, args.index, qtext, args.k).show(args.k, truncate=False)
+    elif args.cmd == "build-positions":
+        from data_prepper_spark.query.phrase import build_positions
+
+        build_positions(spark, args.source, args.index, n_shards=args.n_shards)
+        print(f"positions table written under {args.index}")
 
     spark.stop()
 
