@@ -383,10 +383,14 @@ def _run_stage_a(
         mark(f"stageA unit {u}")
 
 
-def _write_corpus_stats(spark: SparkSession, io: TableIO) -> tuple[int, float]:
+def _write_corpus_stats(
+    spark: SparkSession, io: TableIO, layered: int = 0
+) -> tuple[int, float]:
     """Corpus stats roll up from the per-unit ledger counters (captured as
     Observation metrics on the write jobs) — no extra scan of the docs
-    table; resume-safe because the ledger is durable per unit."""
+    table; resume-safe because the ledger is durable per unit. ``layered``
+    counts un-merged block segments (remerge=False adds); query kernels
+    disable block-max pruning while it is non-zero."""
     arows = [r for r in _ledger_latest(io, spark) if r["stage"] == "A" and r["state"] == "done"]
     n_docs = sum(int(r["docs_tokenized"]) for r in arows)
     dl_sum = sum(int(r["doc_len_sum"]) for r in arows)
@@ -398,12 +402,15 @@ def _write_corpus_stats(spark: SparkSession, io: TableIO) -> tuple[int, float]:
         os.makedirs(io.path("corpus_stats"), exist_ok=True)
         pq.write_table(
             pa.table({"n_docs": pa.array([n_docs], pa.int64()),
-                      "avgdl": pa.array([avgdl], pa.float64())}),
+                      "avgdl": pa.array([avgdl], pa.float64()),
+                      "layered": pa.array([layered], pa.int32())}),
             io.path("corpus_stats/part-0.parquet"),
         )
     else:
         io.write(
-            spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double"),
+            spark.createDataFrame(
+                [(n_docs, avgdl, layered)], "n_docs long, avgdl double, layered int"
+            ),
             "corpus_stats",
         )
     return n_docs, avgdl
@@ -536,6 +543,7 @@ def add_to_index(
     n_shards: int = 64,
     block_size: int = 128,
     units: int = 1,
+    remerge: bool = True,
     fault_injector: Callable[[str, int], None] | None = None,
 ) -> BuildResult:
     """Incremental maintenance: ingest NEW source files into an existing
@@ -553,6 +561,14 @@ def add_to_index(
       ``source_path`` (the ledger's source_snapshot lineage column);
       re-adding an already-ingested path resumes instead of duplicating,
       so a crash mid-add is recovered by calling add_to_index again.
+    - ``remerge=False`` is the Lucene-NRT-style layered add: the new
+      units' blocks are written as a NEW segment group (no re-merge of
+      existing groups — O(new docs), not O(corpus)), the dictionary is
+      rebuilt (pure aggregation), and corpus_stats.layered is bumped so
+      query kernels stop trusting the now-avgdl-stale block-max bounds
+      and score exhaustively. ``refresh_index`` later compacts all
+      segments back into canonical groups and re-enables pruning — the
+      standard searchable-immediately / merge-in-background economics.
 
     ``n_shards`` and ``block_size`` must match the original build; the
     stage-B grouping is reused from the ledger.
@@ -563,7 +579,11 @@ def add_to_index(
     a_rows = [r for r in latest if r["stage"] == "A" and r["state"] == "done"]
     if not a_rows:
         raise ValueError("add_to_index requires an existing build; use build_index first")
-    b_groups = sorted({r["unit_id"] for r in latest if r["stage"] == "B"})
+    b_groups = sorted(
+        r["unit_id"] for r in latest
+        if r["stage"] == "B"
+        and not str(r["source_snapshot"] or "").startswith("layered:")
+    )
     shard_groups = max(1, len(b_groups))
 
     already = [r for r in a_rows if r["source_snapshot"] == source_path]
@@ -580,11 +600,38 @@ def add_to_index(
     unit_files = [(first_u + i, files[i::units]) for i in range(units)]
     _run_stage_a(spark, io, unit_files, n_shards, source_path, done, fault_injector, _mark)
 
-    return refresh_index(
-        spark, out_dir, block_size=block_size, n_shards=n_shards,
-        shard_groups=shard_groups, source_tag=source_path,
-        fault_injector=fault_injector,
+    if remerge:
+        return refresh_index(
+            spark, out_dir, block_size=block_size, n_shards=n_shards,
+            shard_groups=shard_groups, source_tag=source_path,
+            fault_injector=fault_injector,
+        )
+
+    # ---- layered add: encode ONLY the new units' runs as a fresh segment
+    prev_layered = 0
+    if io.exists("corpus_stats"):
+        row = io.read(spark, "corpus_stats").collect()[0]
+        if "layered" in row.__fields__ and row["layered"] is not None:
+            prev_layered = int(row["layered"])
+    n_docs, avgdl = _write_corpus_stats(spark, io, layered=prev_layered + 1)
+    new_posts = spark.read.parquet(
+        *[io.path(f"postings/unit={u}") for u, _ in unit_files]
     )
+    seg = max((r["unit_id"] for r in latest if r["stage"] == "B"), default=-1) + 1
+    blocks = blocks_from_postings(new_posts, avgdl, block_size)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    blocks.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").option(
+        "parquet.bloom.filter.enabled#term_hash", "true"
+    ).partitionBy("shard").parquet(io.path(f"posting_blocks/group={seg}"))
+    _ledger_append(
+        io, spark,
+        [("B", seg, "done", 0, 0, int(obs.get["n"]), 0, f"layered:{source_path}", CODE_VERSION)],
+    )
+    _mark(f"layered segment {seg}")
+    _write_dictionary(spark, io, spark.read.parquet(io.path("postings")), _mark)
+    return BuildResult(out_dir, n_docs, avgdl, n_shards)
 
 
 def refresh_index(
@@ -610,11 +657,16 @@ def refresh_index(
     latest = _ledger_latest(io, spark)
     if not any(r["stage"] == "A" and r["state"] == "done" for r in latest):
         raise ValueError("refresh_index requires committed stage-A units")
+    b_rows = [r for r in latest if r["stage"] == "B"]
+    layered_ids = sorted(
+        r["unit_id"] for r in b_rows
+        if str(r["source_snapshot"] or "").startswith("layered:")
+    )
     if shard_groups is None:
-        b_groups = {r["unit_id"] for r in latest if r["stage"] == "B"}
-        shard_groups = max(1, len(b_groups))
+        canonical = {r["unit_id"] for r in b_rows} - set(layered_ids)
+        shard_groups = max(1, len(canonical))
 
-    n_docs, avgdl = _write_corpus_stats(spark, io)
+    n_docs, avgdl = _write_corpus_stats(spark, io, layered=0)
     postings = spark.read.parquet(io.path("postings"))
     if n_shards is None:
         n_shards = int(postings.agg(F.max("shard")).collect()[0][0]) + 1
@@ -623,10 +675,18 @@ def refresh_index(
     # invalidate every stage-B group: new docs hash into all shards and the
     # updated avgdl changes every block's wtf bound. Latest-wins ledger rows
     # keep the lineage (the 'invalidated' row records WHY group g re-ran).
+    # Layered segment dirs are compacted away entirely, so the whole
+    # posting_blocks tree is dropped and rebuilt into canonical groups.
     _ledger_append(
         io, spark,
-        [("B", g, "invalidated", 0, 0, 0, 0, source_tag, CODE_VERSION) for g in range(shard_groups)],
+        [("B", g, "invalidated", 0, 0, 0, 0, source_tag, CODE_VERSION) for g in range(shard_groups)]
+        + [("B", g, "compacted", 0, 0, 0, 0, source_tag, CODE_VERSION) for g in layered_ids],
     )
+    # (at design scale this drop-and-rebuild would instead write to a new
+    # generation dir and atomically swap a pointer — Iceberg snapshot
+    # semantics via the TableIO seam; in the parquet catalog a crashed
+    # refresh is recovered by re-running it)
+    io.drop(spark, "posting_blocks")
     _run_stage_b(
         spark, io, postings, avgdl, block_size, shard_groups, source_tag,
         set(), fault_injector, _mark,

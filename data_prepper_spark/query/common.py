@@ -22,6 +22,17 @@ def load_stats(spark: SparkSession, io: TableIO) -> tuple[int, float]:
     return int(r["n_docs"]), float(r["avgdl"])
 
 
+def load_stats_full(spark: SparkSession, io: TableIO) -> tuple[int, float, int]:
+    """(n_docs, avgdl, layered). ``layered`` counts block segments written
+    by remerge=False adds since the last full merge: a layered index's
+    precomputed block-max wtf bounds are stale (they embed the avgdl at
+    THEIR build time), so query kernels must not prune with them — the
+    engine forces the exhaustive path while layered > 0."""
+    r = io.read(spark, "corpus_stats").collect()[0]
+    layered = int(r["layered"]) if "layered" in r.__fields__ else 0
+    return int(r["n_docs"]), float(r["avgdl"]), layered
+
+
 def query_term_stats(
     spark: SparkSession, io: TableIO, terms: list[str], n_docs: int
 ) -> dict[str, dict]:

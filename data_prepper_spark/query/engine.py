@@ -37,9 +37,9 @@ class IndexQueryEngine:
         self.spark = spark
         self.io = TableIO(index_dir)
         self.shard_partitions = shard_partitions
-        r = self.io.read(spark, "corpus_stats").collect()[0]
-        self.n_docs = int(r["n_docs"])
-        self.avgdl = float(r["avgdl"])
+        from .common import load_stats_full
+
+        self.n_docs, self.avgdl, self.layered = load_stats_full(spark, self.io)
         self._dict_cache: dict[str, dict | None] = {}
         self.blocks = self.io.read(spark, "posting_blocks")
         self._prepartitioned = persist_blocks
@@ -86,7 +86,11 @@ class IndexQueryEngine:
             return self.spark.createDataFrame([], empty)
         hstats = {s["hash"]: s for s in tstats.values()}
         avgdl, n = self.avgdl, k
-        from .wand import EXHAUSTIVE_THRESHOLD as thr
+        from .wand import EXHAUSTIVE_THRESHOLD
+
+        # a layered index's block-max bounds are stale (segment-local
+        # avgdl): never prune with them — force the exhaustive kernel
+        thr = (1 << 62) if self.layered else EXHAUSTIVE_THRESHOLD
 
         import pandas as pd
 
@@ -143,8 +147,9 @@ class IndexQueryEngine:
         if not all_hashes:
             return self.spark.createDataFrame([], empty)
         avgdl, n = self.avgdl, k
-        from .wand import EXHAUSTIVE_THRESHOLD as thr
-        from .wand import batch_exhaustive_shard
+        from .wand import EXHAUSTIVE_THRESHOLD, batch_exhaustive_shard
+
+        thr = (1 << 62) if self.layered else EXHAUSTIVE_THRESHOLD
 
         import pandas as pd
 

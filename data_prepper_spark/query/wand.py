@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..analyzer import tokenize_py
 from ..tableio import TableIO
-from .common import K1, B, load_stats, query_term_stats
+from .common import K1, B, load_stats_full, query_term_stats
 from ..index.varint import decode_doc_ids_payload, decode_payload
 
 _INF = np.iinfo(np.int64).max
@@ -334,7 +334,7 @@ def bm25_topk_wand(
 ) -> DataFrame:
     """Returns (rank int, doc_id long, score double) via block-max WAND."""
     io = TableIO(index_dir)
-    n_docs, avgdl = load_stats(spark, io)
+    n_docs, avgdl, layered = load_stats_full(spark, io)
     terms = sorted(set(tokenize_py(query_text)))
     tstats = query_term_stats(spark, io, terms, n_docs)
     empty = "rank int, doc_id long, score double"
@@ -345,7 +345,8 @@ def bm25_topk_wand(
         F.col("term_hash").isin(list(hstats))
     )
 
-    thr = EXHAUSTIVE_THRESHOLD
+    # layered index: stale block-max bounds -> no pruning, exhaustive only
+    thr = (1 << 62) if layered else EXHAUSTIVE_THRESHOLD
 
     def per_shard(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # mapInPandas over shard-partitioned scan: each incoming batch holds

@@ -11,7 +11,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from data_prepper_spark.index.build import add_to_index, build_index
+from data_prepper_spark.index.build import add_to_index, build_index, refresh_index
 from data_prepper_spark.query.engine import IndexQueryEngine
 
 
@@ -129,3 +129,43 @@ def test_streaming_index_updates(spark, corpus_dir, tmp_path):
     e1 = IndexQueryEngine(spark, out, persist_blocks=False)
     e2 = IndexQueryEngine(spark, clean, persist_blocks=False)
     assert e1.topk("def return value", 10).collect() == e2.topk("def return value", 10).collect()
+
+
+def test_layered_add_then_compact(spark, corpus_dir, tmp_path):
+    """remerge=False: new docs are searchable immediately from a layered
+    segment (no re-merge, pruning disabled via corpus_stats.layered);
+    refresh_index later compacts to the canonical bit-identical index."""
+    s1, s2, full = _split_corpus(corpus_dir, tmp_path)
+    idx = str(tmp_path / "idx_layered")
+    clean = str(tmp_path / "idx_clean3")
+    build_index(spark, s1, idx, n_shards=8, units=1, shard_groups=2)
+    stage_b_runs = []
+    r = add_to_index(
+        spark, s2, idx, n_shards=8, units=1, remerge=False,
+        fault_injector=lambda s, u: stage_b_runs.append((s, u)),
+    )
+    # no stage-B re-merge happened (only the new stage-A unit ran)
+    assert [x for x in stage_b_runs if x[0] == "B"] == []
+    rc = build_index(spark, full, clean, n_shards=8, units=2, shard_groups=2)
+    assert (r.n_docs, r.avgdl) == (rc.n_docs, rc.avgdl)
+    stats = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    assert stats["layered"] == 1
+    # queries over the layered index are rank-identical to the clean build
+    el = IndexQueryEngine(spark, idx, persist_blocks=False)
+    ec = IndexQueryEngine(spark, clean, persist_blocks=False)
+    assert el.layered == 1 and ec.layered == 0
+    for q in ("def return value", "class import", "the"):
+        assert el.topk(q, 10).collect() == ec.topk(q, 10).collect(), q
+    # compaction: canonical groups, pruning re-enabled, bit-identical blocks
+    refresh_index(spark, idx)
+    stats = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    assert stats["layered"] == 0
+    bexpr = (
+        "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, "
+        "doc_gaps, tfs, dls, block_max_tf, block_max_wtf))"
+    )
+    assert _chk(spark, f"{idx}/posting_blocks", bexpr) == _chk(spark, f"{clean}/posting_blocks", bexpr)
+    import os
+
+    groups = sorted(d for d in os.listdir(f"{idx}/posting_blocks") if d.startswith("group="))
+    assert groups == ["group=0", "group=1"]  # layered segment dir compacted away
