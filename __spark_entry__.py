@@ -86,13 +86,27 @@ def q_ft_bm25_topk2(spark, sf_dir):
     return bm25_topk_adhoc(_t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY2, 20)
 
 
+def q_ft_bm25_filtered(spark, sf_dir):
+    """Filtered search: top-k among docs matching an attribute predicate,
+    with corpus-wide statistics (Lucene filter-query semantics)."""
+    return bm25_topk_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY, 10,
+        doc_filter="lang = 'en'",
+    )
+
+
 def _ft_oracles() -> dict[str, str]:
     toks = duckdb_tokens_sql("text")
     base = f"select doc_id, {toks} as toks from documents"
     terms_in = ", ".join(f"'{t}'" for t in FT_TERMS)
 
-    def bm25_sql(query_terms: list[str], k: int) -> str:
+    def bm25_sql(query_terms: list[str], k: int, doc_where: str | None = None) -> str:
         tl = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+        filter_join = (
+            f"join (select doc_id from documents where {doc_where}) f using(doc_id)"
+            if doc_where
+            else ""
+        )
         return f"""
 with tk as ({base}),
 dl as (select doc_id, len(toks) as dl from tk),
@@ -110,7 +124,7 @@ scored as (
   group by p.doc_id)
 select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
        doc_id, score
-from scored order by score desc, doc_id asc limit {k}
+from scored {filter_join} order by score desc, doc_id asc limit {k}
 """
 
     from data_prepper_spark.analyzer import tokenize_py
@@ -129,6 +143,7 @@ from scored order by score desc, doc_id asc limit {k}
             where term in ({terms_in}) group by term, doc_id""",
         "ft_bm25_topk": bm25_sql(tokenize_py(FT_QUERY), 10),
         "ft_bm25_topk2": bm25_sql(tokenize_py(FT_QUERY2), 20),
+        "ft_bm25_filtered": bm25_sql(tokenize_py(FT_QUERY), 10, doc_where="lang = 'en'"),
     }
 
 
@@ -1259,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_postings": q_ft_postings,
         "ft_bm25_topk": q_ft_bm25_topk,
         "ft_bm25_topk2": q_ft_bm25_topk2,
+        "ft_bm25_filtered": q_ft_bm25_filtered,
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
         "q6_revenue": q_q6_revenue,

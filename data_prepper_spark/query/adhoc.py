@@ -28,8 +28,14 @@ def bm25_topk_adhoc(
     query_text: str,
     k: int = 10,
     round_to: int = 4,
+    doc_filter: str | None = None,
 ) -> DataFrame:
-    """Returns (rank int, doc_id long, score double)."""
+    """Returns (rank int, doc_id long, score double).
+
+    ``doc_filter`` restricts the RESULT set to docs matching a SQL
+    predicate over ``df``'s columns, Lucene-filter style: idf/avgdl stay
+    corpus-wide (a filter narrows the answer, not the statistics), and the
+    filter is a broadcast-friendly left-semi join applied before top-k."""
     spark = df.sparkSession
     terms = sorted(set(tokenize_py(query_text)))
     if not terms:
@@ -60,12 +66,11 @@ def bm25_topk_adhoc(
             ).alias("s"),
         )
     )
-    topk = (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("s"), round_to).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    agg = scored.groupBy("doc_id").agg(F.round(F.sum("s"), round_to).alias("score"))
+    if doc_filter:
+        allowed = df.where(doc_filter).select(F.col(id_col).cast("long").alias("doc_id"))
+        agg = agg.join(allowed, "doc_id", "left_semi")
+    topk = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     # rank over the already-top-k rows: partitionBy(lit(0)) declares the
     # single partition explicitly (<= k rows), silencing WindowExec's
     # move-all-data warning without changing the plan's work

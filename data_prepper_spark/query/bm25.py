@@ -59,3 +59,45 @@ def bm25_topk(
     # move-all-data warning without changing the plan's work
     w = F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id")))
     return topk.select(w.alias("rank"), "doc_id", "score")
+
+
+def bm25_topk_filtered(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    predicate: str,
+    k: int = 10,
+) -> DataFrame:
+    """Filtered search (Lucene filter-query analog): top-k BM25 among docs
+    whose ``docs``-table row matches the SQL ``predicate`` (e.g.
+    "lang = 'python'"). Statistics stay corpus-wide — a filter narrows the
+    answer, not idf/avgdl — and the filter reaches the docs scan as a
+    pushed predicate, then joins the scored aggregate as a left-semi
+    (exact: applied BEFORE top-k truncation)."""
+    io = TableIO(index_dir)
+    n_docs, avgdl = load_stats(spark, io)
+    terms = sorted(set(tokenize_py(query_text)))
+    tstats = query_term_stats(spark, io, terms, n_docs)
+    if not tstats:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    idf_df = spark.createDataFrame(
+        [(t, s["idf"]) for t, s in tstats.items()], "term string, idf double"
+    )
+    posts = io.read(spark, "postings").where(F.col("term").isin(list(tstats)))
+    scored = (
+        posts.join(F.broadcast(idf_df), "term")
+        .select(
+            "doc_id",
+            score_expr(F.col("idf"), F.col("tf"), F.col("doc_len"), avgdl).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    allowed = io.read(spark, "docs").where(predicate).select("doc_id")
+    topk = (
+        scored.join(allowed, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id")))
+    return topk.select(w.alias("rank"), "doc_id", "score")

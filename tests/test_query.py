@@ -98,3 +98,31 @@ def test_batch_equals_per_query(spark, index_dir):
     for qid, q in qmap.items():
         single = _norm([(r.rank, r.doc_id, r.score) for r in eng.topk(q, 10).collect()])
         assert sorted(got.get(qid, [])) == sorted(single), qid
+
+
+def test_bm25_topk_filtered_indexed(spark, index_dir, corpus_dir, corpus_docs):
+    """Indexed filtered search: results satisfy the predicate, scores are
+    the corpus-wide BM25 scores (filter narrows answers, not statistics)."""
+    from data_prepper_spark.query.bm25 import bm25_topk_filtered
+
+    docs = spark.read.parquet(corpus_dir)
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    lang = sorted(langs)[0]
+    q = "return value"
+    got = bm25_topk_filtered(spark, index_dir, q, f"lang = '{lang}'", k=10).collect()
+    assert got
+    allowed = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{index_dir}/docs").where(f"lang = '{lang}'").collect()
+    }
+    assert {r["doc_id"] for r in got} <= allowed
+    full = {r.doc_id: round(r.score, 6) for r in bm25_topk(spark, index_dir, q, k=10**6).collect()}
+    for r in got:
+        assert round(r["score"], 6) == full[r["doc_id"]]
+    # equals the brute-force answer: filter the oracle's full ranking
+    want = [
+        (d, round(s, 6))
+        for _, d, s in oracle_topk(corpus_docs, q, 10**6)
+        if d in allowed
+    ][:10]
+    assert [(r["doc_id"], round(r["score"], 6)) for r in got] == want
