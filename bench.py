@@ -41,6 +41,10 @@ HEADLINE = [
     "grok_roundtrip",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "minhash_verified_pairs",
+    "simhash_pairs",
+    "dedup_clusters",
+    "phrase_search",
     "ann_cosine_topk",
     "text_quality",
     "lang_id",

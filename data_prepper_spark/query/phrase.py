@@ -162,24 +162,45 @@ def phrase_match_adhoc(
     docs: DataFrame, content_col: str, id_col: str, phrase: str
 ) -> DataFrame:
     """(id, n_matches) straight over the corpus — the index-free/oracle
-    path. Pure Catalyst: one pass over the token array per doc."""
+    path, pure Catalyst.
+
+    Tokenizes ONCE under a posexplode Generate (a window-array
+    formulation referencing the token alias from several expressions got
+    the analyzer re-inlined 6x — HOF lambdas defeat both CollapseProject
+    restraint and codegen subexpression elimination; measured 3x slower).
+    Windows anchor on the FIRST term's positions: a start p matches iff
+    p+j is a position of term_j for every j — the same adjacency filter
+    the indexed path uses, here over per-doc collected position arrays of
+    only the phrase's terms (the where-isin keeps the shuffle tiny)."""
     terms = tokenize_py(phrase)
     n = len(terms)
     assert n > 0, "empty phrase after analysis"
+    uniq = sorted(set(terms))
     toked = spread(
-        docs.select(F.col(id_col).alias("id"), tokens_col(content_col).alias("toks"))
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens_col(content_col)).alias("pos", "term"),
+        )
+    ).where(F.col("term").isin(uniq))
+    per_doc = toked.groupBy("id").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+            ).alias(f"pos_{i}")
+            for i, t in enumerate(uniq)
+        ]
     )
-    toks = F.col("toks")
-    starts = F.sequence(F.lit(0), F.size(toks) - n)  # empty when size < n
+    pos_for = {t: F.col(f"pos_{i}") for i, t in enumerate(uniq)}
+    anchor = pos_for[terms[0]]
 
-    def window_ok(i: Column) -> Column:
+    def ok(p: Column) -> Column:
         c = F.lit(True)
-        for j, t in enumerate(terms):
-            c = c & (F.element_at(toks, i + j + 1) == t)
+        for j, t in enumerate(terms[1:], start=1):
+            c = c & F.array_contains(pos_for[t], p + j)
         return c
 
-    matches = F.when(F.size(toks) >= n, F.size(F.filter(starts, window_ok))).otherwise(0)
+    matches = F.size(F.filter(anchor, ok))
     return (
-        toked.select("id", matches.cast("int").alias("n_matches"))
+        per_doc.select("id", matches.cast("int").alias("n_matches"))
         .where(F.col("n_matches") > 0)
     )

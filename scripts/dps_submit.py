@@ -45,6 +45,8 @@ def main() -> None:
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True, nargs="+")
     q.add_argument("--k", type=int, default=10)
+    q.add_argument("--filter", default=None,
+                   help="SQL predicate over the docs table, e.g. \"lang = 'python'\"")
 
     g = sub.add_parser("gen", help="deterministic synthetic code corpus")
     g.add_argument("--sf", type=float, required=True)
@@ -56,6 +58,8 @@ def main() -> None:
     a.add_argument("--n-shards", type=int, default=64)
     a.add_argument("--units", type=int, default=1)
     a.add_argument("--block-size", type=int, default=128)
+    a.add_argument("--no-remerge", action="store_true",
+                   help="layered add: searchable immediately, compact later with refresh")
 
     r = sub.add_parser("refresh", help="re-merge blocks + dictionary over all committed units")
     r.add_argument("--index", required=True)
@@ -96,10 +100,19 @@ def main() -> None:
     elif args.cmd == "query":
         from data_prepper_spark.query.engine import IndexQueryEngine
 
-        engine = IndexQueryEngine(spark, args.index, persist_blocks=False)
-        for qtext in args.q:
-            print(f"query: {qtext!r}")
-            engine.topk(qtext, args.k).show(args.k, truncate=False)
+        if args.filter:
+            from data_prepper_spark.query.bm25 import bm25_topk_filtered
+
+            for qtext in args.q:
+                print(f"query: {qtext!r} filter: {args.filter!r}")
+                bm25_topk_filtered(spark, args.index, qtext, args.filter, args.k).show(
+                    args.k, truncate=False
+                )
+        else:
+            engine = IndexQueryEngine(spark, args.index, persist_blocks=False)
+            for qtext in args.q:
+                print(f"query: {qtext!r}")
+                engine.topk(qtext, args.k).show(args.k, truncate=False)
     elif args.cmd == "gen":
         from data_prepper_spark.corpus import write_code_files
 
@@ -111,6 +124,7 @@ def main() -> None:
         res = add_to_index(
             spark, args.source, args.index,
             n_shards=args.n_shards, block_size=args.block_size, units=args.units,
+            remerge=not args.no_remerge,
         )
         print(f"index now: n_docs={res.n_docs} avgdl={res.avgdl:.2f}")
     elif args.cmd == "refresh":
