@@ -43,7 +43,17 @@ def _gate(cfg: dict) -> str | None:
 
 
 def _p_grok(df, cfg):
-    return parse.grok(df, match=cfg["match"], when=_gate(cfg))
+    return parse.grok(
+        df,
+        match=cfg["match"],
+        pattern_definitions=cfg.get("pattern_definitions"),
+        target_key=cfg.get("target_key"),
+        keep_empty_captures=cfg.get("keep_empty_captures", False),
+        named_captures_only=cfg.get("named_captures_only", True),
+        keys_to_overwrite=cfg.get("keys_to_overwrite"),
+        tags_on_match_failure=cfg.get("tags_on_match_failure"),
+        when=_gate(cfg),
+    )
 
 
 def _p_key_value(df, cfg):
@@ -52,9 +62,19 @@ def _p_key_value(df, cfg):
         source=cfg.get("source", "message"),
         destination=cfg.get("destination", "parsed_message"),
         field_split_characters=cfg.get("field_split_characters", "&"),
+        field_delimiter_regex=cfg.get("field_delimiter_regex"),
         value_split_characters=cfg.get("value_split_characters", "="),
-        transform_key=cfg.get("transform_key"),
+        key_value_delimiter_regex=cfg.get("key_value_delimiter_regex"),
+        non_match_value=cfg.get("non_match_value"),
+        default_values=cfg.get("default_values"),
         include_keys=cfg.get("include_keys"),
+        exclude_keys=cfg.get("exclude_keys"),
+        delete_key_regex=cfg.get("delete_key_regex"),
+        delete_value_regex=cfg.get("delete_value_regex"),
+        prefix=cfg.get("prefix"),
+        whitespace=cfg.get("whitespace", "lenient"),
+        transform_key=cfg.get("transform_key"),
+        remove_brackets=cfg.get("remove_brackets", False),
         when=_gate(cfg),
     )
 
@@ -63,9 +83,10 @@ def _p_csv(df, cfg):
     return parse.csv_parse(
         df,
         source=cfg.get("source", "message"),
-        column_names=cfg["column_names"],
+        column_names=cfg.get("column_names"),
         delimiter=cfg.get("delimiter", ","),
         quote_character=cfg.get("quote_character", '"'),
+        column_names_source_key=cfg.get("column_names_source_key"),
         when=_gate(cfg),
     )
 
@@ -145,7 +166,14 @@ PROCESSORS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "split_string": lambda df, c: mutate.split_string(df, c["entries"], when=_gate(c)),
     "substitute_string": lambda df, c: mutate.substitute_string(df, c["entries"], when=_gate(c)),
     "translate": lambda df, c: translate_map(
-        df, c["source"], c["target"], c["map"], default=c.get("default")
+        df, c["source"], c["target"], c["map"], default=c.get("default"),
+        iterate_on=bool(c.get("iterate_on", False)),
+    ),
+    "list_to_map": lambda df, c: mutate.list_to_map(
+        df, c["source"], c.get("target", c["source"]), c["key"],
+        value_key=c.get("value_key"),
+        flatten=bool(c.get("flatten", True)),
+        flattened_element=c.get("flattened_element", "last"),
     ),
     "drop_events": lambda df, c: df.where(~expression.evaluate(c["drop_when"])),
     "obfuscate": lambda df, c: obfuscate(

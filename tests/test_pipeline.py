@@ -129,3 +129,59 @@ p:
     out = PipelineRunner.from_yaml(spark, yaml_text, dataframes={"input": df}).run(write=False)
     rows = sorted((r["id"], r["payload"]) for r in out["p"][0].collect())
     assert rows == [(1, "card=***"), (3, "none")]
+
+
+def test_yaml_kv_advanced_options(spark):
+    """Round-2 key_value options reach the YAML surface."""
+    from data_prepper_spark.pipeline import PipelineRunner
+
+    ev = spark.createDataFrame([("Type :click; uid :7; orphan",)], "msg string")
+    model = {
+        "p": {
+            "source": {"dataframe": {"name": "ev"}},
+            "processor": [
+                {
+                    "key_value": {
+                        "source": "msg",
+                        "destination": "m",
+                        "field_delimiter_regex": r";\s*",
+                        "key_value_delimiter_regex": ":",
+                        "non_match_value": "missing",
+                        "default_values": {"env": "prod"},
+                        "whitespace": "strict",
+                        "transform_key": "lowercase",
+                    }
+                }
+            ],
+            "sink": [{"stdout": {}}],
+        }
+    }
+    out = PipelineRunner(spark, model, dataframes={"ev": ev}).sink_frames("p")[0][1]
+    m = dict(out.collect()[0]["m"])
+    assert m == {"type": "click", "uid": "7", "orphan": "missing", "env": "prod"}
+
+
+def test_yaml_grok_syslog_and_list_to_map(spark):
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.pipeline import PipelineRunner
+
+    ev = spark.createDataFrame(
+        [("Oct 11 22:14:15 myhost su[230]: done", [("a", "1"), ("a", "2")])],
+        "line string, kvs array<struct<k string, v string>>",
+    )
+    model = {
+        "p": {
+            "source": {"dataframe": {"name": "ev"}},
+            "processor": [
+                {"grok": {"match": {"line": ["%{SYSLOGBASE} %{GREEDYDATA:msg}"]}}},
+                {"list_to_map": {"source": "kvs", "target": "m", "key": "k",
+                                 "value_key": "v", "flattened_element": "first"}},
+            ],
+            "sink": [{"stdout": {}}],
+        }
+    }
+    out = PipelineRunner(spark, model, dataframes={"ev": ev}).sink_frames("p")[0][1]
+    r = out.collect()[0]
+    assert r["logsource"] == "myhost" and r["program"] == "su" and r["pid"] == "230"
+    assert dict(r["m"]) == {"a": "1"}
