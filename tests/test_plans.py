@@ -83,3 +83,15 @@ def test_no_row_at_a_time_python_udf_in_package():
         if re.search(r"(?<!pandas_)\budf\s*\(", src.replace("applyInPandas", "")):
             bad.append(str(py))
     assert not bad, bad
+
+
+def test_phrase_adhoc_tokenizes_once(spark):
+    """Regression guard: HOF-lambda formulations re-inline the analyzer
+    (6x tokenization, 10x slower); the plan must contain the two camel
+    regexp_replace rules exactly once."""
+    from data_prepper_spark.query.phrase import phrase_match_adhoc
+
+    docs = spark.createDataFrame([(1, "a table scan b")], "doc_id long, text string")
+    out = phrase_match_adhoc(docs, "text", "doc_id", "table scan")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 2, plan.count("regexp_replace")
