@@ -8,6 +8,7 @@ value hash over columns sorted by name (floats canonicalized).
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -18,7 +19,7 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entrymod
 from data_prepper_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("DPS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
