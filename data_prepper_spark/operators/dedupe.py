@@ -331,6 +331,7 @@ def connected_components(
     else:
         nodes = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
     labels = nodes.withColumn("component", F.col("id"))
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -351,5 +352,13 @@ def connected_components(
         changed = new_labels.where("__chg").limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silently-partial labeling would under-merge clusters; a graph
+        # with diameter > max_iterations must fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds; "
+            "raise max_iterations (graph diameter exceeds it)"
+        )
     return labels

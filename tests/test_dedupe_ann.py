@@ -199,3 +199,12 @@ def test_connected_components_on_real_pairs(docs):
         by_comp.setdefault(c, []).append(i)
     for c, members in by_comp.items():
         assert c == min(members)
+
+
+def test_connected_components_iteration_cap_raises(spark):
+    # a 5-node path needs 4 propagation rounds; cap at 2 must fail loudly
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedupe.connected_components(pairs, max_iterations=2)
