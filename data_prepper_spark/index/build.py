@@ -50,7 +50,13 @@ from .varint import encode_payload_segmented
 
 K1 = 1.2
 B = 0.75
-CODE_VERSION = "dps-0.1"
+# dps-0.2: block payloads gained a 1-byte codec-tag prefix (index/varint.py
+# tagged payload layer). An index whose ledger carries an older version would
+# silently mis-decode (the first varint byte read as a codec tag), so query
+# paths call check_index_compatibility() before touching blocks and fail with
+# a clear "rebuild required" instead.
+CODE_VERSION = "dps-0.2"
+COMPATIBLE_VERSIONS = frozenset({CODE_VERSION})
 
 # blocks are keyed by xxhash64(term), not the term string: the Python
 # block encoder and the WAND kernel then touch only fixed-width int64
@@ -271,6 +277,24 @@ def _ledger_latest(io: TableIO, spark: SparkSession) -> list[dict]:
         if cur is None or r["updated_at"] >= cur["updated_at"]:
             latest[key] = r
     return list(latest.values())
+
+
+def check_index_compatibility(io: TableIO, spark: SparkSession) -> None:
+    """Fail loudly if the index on disk was written by an incompatible code
+    version (e.g. pre-codec-tag dps-0.1 block payloads, which this build
+    would silently mis-decode). Reads only the (tiny) ledger."""
+    versions = {
+        str(r.get("code_version") or "<pre-versioned>")
+        for r in _ledger_latest(io, spark)
+        if r["state"] == "done"
+    }
+    bad = versions - COMPATIBLE_VERSIONS
+    if bad:
+        raise RuntimeError(
+            f"index at {io.root} was written by incompatible code version(s) "
+            f"{sorted(bad)} (this build reads {sorted(COMPATIBLE_VERSIONS)}); "
+            "rebuild required: run build_index(resume=False) over the source"
+        )
 
 
 def _ledger_done(io: TableIO, spark: SparkSession) -> set[tuple[str, int]]:
@@ -579,9 +603,15 @@ def add_to_index(
     a_rows = [r for r in latest if r["stage"] == "A" and r["state"] == "done"]
     if not a_rows:
         raise ValueError("add_to_index requires an existing build; use build_index first")
+    # canonical stage-B groups: latest state must be 'done' — after a
+    # refresh, compacted layered segments' final row is state='compacted'
+    # with the 'layered:' prefix replaced by the refresh source_tag, so
+    # filtering on the prefix alone would count them as canonical groups
+    # and inflate shard_groups on every layered-add/refresh/add cycle
     b_groups = sorted(
         r["unit_id"] for r in latest
         if r["stage"] == "B"
+        and r["state"] == "done"
         and not str(r["source_snapshot"] or "").startswith("layered:")
     )
     shard_groups = max(1, len(b_groups))
@@ -657,7 +687,7 @@ def refresh_index(
     latest = _ledger_latest(io, spark)
     if not any(r["stage"] == "A" and r["state"] == "done" for r in latest):
         raise ValueError("refresh_index requires committed stage-A units")
-    b_rows = [r for r in latest if r["stage"] == "B"]
+    b_rows = [r for r in latest if r["stage"] == "B" and r["state"] == "done"]
     layered_ids = sorted(
         r["unit_id"] for r in b_rows
         if str(r["source_snapshot"] or "").startswith("layered:")

@@ -305,6 +305,15 @@ def key_value(
         return F.struct(k.alias("k"), v.alias("v"))
 
     entries = F.transform(entries, shape)
+    # second keep-first dedupe on the SHAPED keys: transform_key /
+    # delete_key_regex / strict whitespace can map distinct raw keys onto
+    # the same shaped key ("A" and "a" under lowercase), and
+    # map_from_entries raises DUPLICATED_MAP_KEY under Spark's default
+    # EXCEPTION policy. The reference tolerates duplicates
+    # (KeyValueProcessor collects them); keep-first matches the raw-key
+    # dedupe above.
+    shaped_keys = F.transform(entries, lambda e: e["k"])
+    entries = F.filter(entries, lambda e, i: F.array_position(shaped_keys, e["k"]) == i + 1)
     m = F.map_from_entries(entries)
     if default_values:
         defaults = F.map_from_arrays(

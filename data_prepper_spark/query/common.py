@@ -28,6 +28,13 @@ def load_stats_full(spark: SparkSession, io: TableIO) -> tuple[int, float, int]:
     precomputed block-max wtf bounds are stale (they embed the avgdl at
     THEIR build time), so query kernels must not prune with them — the
     engine forces the exhaustive path while layered > 0."""
+    # both callers (WAND one-shot + IndexQueryEngine) decode block payloads
+    # next — gate on the ledger's code_version first so an index written by
+    # an incompatible build fails with "rebuild required" instead of
+    # mis-decoding the codec-tag byte
+    from ..index.build import check_index_compatibility
+
+    check_index_compatibility(io, spark)
     r = io.read(spark, "corpus_stats").collect()[0]
     layered = int(r["layered"]) if "layered" in r.__fields__ else 0
     return int(r["n_docs"]), float(r["avgdl"]), layered
