@@ -33,13 +33,22 @@ class IndexQueryEngine:
         index_dir: str,
         persist_blocks: bool = True,
         shard_partitions: int = 8,
+        exhaustive_threshold: int | None = None,
     ):
         self.spark = spark
         self.io = TableIO(index_dir)
         self.shard_partitions = shard_partitions
         from .common import load_stats_full
+        from .wand import EXHAUSTIVE_THRESHOLD
 
         self.n_docs, self.avgdl, self.layered = load_stats_full(spark, self.io)
+        # layered (NRT) index: stored block-max wtf bounds embed a stale
+        # avgdl; prune with avgdl-independent tf-only bounds instead of
+        # forcing the exhaustive kernel (see _Cursor docstring)
+        self._bounds = "tf" if self.layered else "wtf"
+        self._thr = (
+            EXHAUSTIVE_THRESHOLD if exhaustive_threshold is None else exhaustive_threshold
+        )
         self._dict_cache: dict[str, dict | None] = {}
         self.blocks = self.io.read(spark, "posting_blocks")
         self._prepartitioned = persist_blocks
@@ -86,11 +95,7 @@ class IndexQueryEngine:
             return self.spark.createDataFrame([], empty)
         hstats = {s["hash"]: s for s in tstats.values()}
         avgdl, n = self.avgdl, k
-        from .wand import EXHAUSTIVE_THRESHOLD
-
-        # a layered index's block-max bounds are stale (segment-local
-        # avgdl): never prune with them — force the exhaustive kernel
-        thr = (1 << 62) if self.layered else EXHAUSTIVE_THRESHOLD
+        thr, bounds = self._thr, self._bounds
 
         import pandas as pd
 
@@ -101,7 +106,7 @@ class IndexQueryEngine:
                     buf.setdefault(int(s), []).append(grp)
             rows = []
             for s, parts in buf.items():
-                rows.extend(_wand_shard(pd.concat(parts), hstats, avgdl, n, thr))
+                rows.extend(_wand_shard(pd.concat(parts), hstats, avgdl, n, thr, bounds))
             yield (
                 pd.DataFrame(rows, columns=["doc_id", "score"])
                 if rows
@@ -147,9 +152,9 @@ class IndexQueryEngine:
         if not all_hashes:
             return self.spark.createDataFrame([], empty)
         avgdl, n = self.avgdl, k
-        from .wand import EXHAUSTIVE_THRESHOLD, batch_exhaustive_shard
+        from .wand import batch_exhaustive_shard
 
-        thr = (1 << 62) if self.layered else EXHAUSTIVE_THRESHOLD
+        thr, bounds = self._thr, self._bounds
 
         import pandas as pd
 
@@ -172,7 +177,7 @@ class IndexQueryEngine:
                     sub = shard_df[shard_df["term_hash"].isin(list(hstats))]
                     if len(sub) == 0:
                         continue
-                    for doc_id, score in _wand_shard(sub, hstats, avgdl, n, thr):
+                    for doc_id, score in _wand_shard(sub, hstats, avgdl, n, thr, bounds):
                         rows.append((qid, doc_id, score))
             yield (
                 pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])

@@ -38,14 +38,32 @@ _UB_INFLATE = 1.0 + 1e-9
 
 
 class _Cursor:
-    """Per-term posting cursor over that term's blocks within one shard."""
+    """Per-(term, segment) posting cursor over that term's blocks within one
+    shard. On a merged index every (term, shard) lives in exactly one segment
+    group, so "per segment" degenerates to "per term"; on a layered (NRT)
+    index a term has one cursor per segment — block_ids restart at 0 and
+    doc_id ranges overlap across segments, so a single cursor over the union
+    would mis-sort, but independent cursors are just more posting lists and
+    WAND's pivot logic is indifferent (scores for the same doc sum across
+    cursors, and a doc exists in exactly one segment per term).
+
+    ``bounds`` picks the block upper bound used for pruning:
+    - "wtf": the stored ``block_max_wtf`` (embeds build-time avgdl) — exact
+      and tightest, valid only while corpus avgdl == build avgdl.
+    - "tf": recomputed from ``block_max_tf`` as
+      idf·(k1+1)·tf_max/(tf_max + k1·(1−b)) — avgdl-independent (wtf is
+      increasing in tf and its denominator ≥ tf + k1(1−b) for any dl,
+      avgdl), so a layered index keeps block-max pruning instead of being
+      forced into exhaustive scoring. Looser by the dl/avgdl term, exact
+      scoring at candidates unchanged.
+    """
 
     __slots__ = (
         "idf", "global_ub", "firsts", "lasts", "gaps", "tfs_b", "dls_b",
         "n_in_block", "block_maxes", "bi", "docs", "tfs", "dls", "pos",
     )
 
-    def __init__(self, idf: float, bdf: pd.DataFrame, avgdl: float):
+    def __init__(self, idf: float, bdf: pd.DataFrame, avgdl: float, bounds: str = "wtf"):
         b = bdf.sort_values("block_id")
         self.idf = idf
         self.firsts = b["first_doc_id"].to_numpy(np.int64)
@@ -53,7 +71,12 @@ class _Cursor:
         self.gaps = b["doc_gaps"].tolist()
         self.tfs_b = b["tfs"].tolist()
         self.dls_b = b["dls"].tolist()
-        self.block_maxes = b["block_max_wtf"].to_numpy(np.float64) * idf * _UB_INFLATE
+        if bounds == "tf":
+            tf_max = b["block_max_tf"].to_numpy(np.float64)
+            ub = (tf_max * (K1 + 1)) / (tf_max + K1 * (1 - B))
+        else:
+            ub = b["block_max_wtf"].to_numpy(np.float64)
+        self.block_maxes = ub * idf * _UB_INFLATE
         self.global_ub = float(self.block_maxes.max()) if len(b) else 0.0
         # last doc_id per block = first of next block - 1 is unknown without
         # decode; store exact last via decode-on-demand, init with next-first
@@ -252,6 +275,7 @@ def _wand_shard(
     avgdl: float,
     k: int,
     exhaustive_threshold: int | None = None,
+    bounds: str = "wtf",
 ) -> list[tuple[int, float]]:
     # callers capture the threshold DRIVER-side and pass it through the
     # closure: executor workers re-import this module, so a patched module
@@ -259,11 +283,20 @@ def _wand_shard(
     thr = EXHAUSTIVE_THRESHOLD if exhaustive_threshold is None else exhaustive_threshold
     if int(groups["n_docs"].sum()) <= thr:
         return _exhaustive_shard(groups, hstats, avgdl, k)
+    # one cursor per (term, segment): the `group` partition column is the
+    # segment id; see _Cursor docstring for why layered segments must not
+    # share a cursor
+    if "group" in groups.columns:
+        key_iter = (
+            (th, bdf) for (th, _g), bdf in groups.groupby(["term_hash", "group"])
+        )
+    else:
+        key_iter = groups.groupby("term_hash")
     cursors = []
-    for th, bdf in groups.groupby("term_hash"):
+    for th, bdf in key_iter:
         st = hstats.get(int(th))
         if st is not None:
-            cursors.append(_Cursor(st["idf"], bdf, avgdl))
+            cursors.append(_Cursor(st["idf"], bdf, avgdl, bounds))
     cursors = [c for c in cursors if not c.exhausted()]
     # top-k kept as (score, -doc_id) min-heap semantics via sorted list; k is
     # small (<=100) so an insort is cheaper than heap bookkeeping in Python.
@@ -330,7 +363,11 @@ def _wand_shard(
 
 
 def bm25_topk_wand(
-    spark: SparkSession, index_dir: str, query_text: str, k: int = 10
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    k: int = 10,
+    exhaustive_threshold: int | None = None,
 ) -> DataFrame:
     """Returns (rank int, doc_id long, score double) via block-max WAND."""
     io = TableIO(index_dir)
@@ -345,8 +382,11 @@ def bm25_topk_wand(
         F.col("term_hash").isin(list(hstats))
     )
 
-    # layered index: stale block-max bounds -> no pruning, exhaustive only
-    thr = (1 << 62) if layered else EXHAUSTIVE_THRESHOLD
+    # layered index: stored wtf bounds embed a stale avgdl -> prune with the
+    # avgdl-independent tf-only bounds instead (per-segment cursors); the
+    # pointer kernel keeps working, no forced exhaustive scan
+    bounds = "tf" if layered else "wtf"
+    thr = EXHAUSTIVE_THRESHOLD if exhaustive_threshold is None else exhaustive_threshold
 
     def per_shard(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # mapInPandas over shard-partitioned scan: each incoming batch holds
@@ -357,7 +397,7 @@ def bm25_topk_wand(
                 buf.setdefault(int(s), []).append(grp)
         rows = []
         for s, parts in buf.items():
-            hits = _wand_shard(pd.concat(parts), hstats, avgdl, k, thr)
+            hits = _wand_shard(pd.concat(parts), hstats, avgdl, k, thr, bounds)
             rows.extend(hits)
         yield pd.DataFrame(rows, columns=["doc_id", "score"]) if rows else pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}

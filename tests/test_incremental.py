@@ -131,6 +131,44 @@ def test_streaming_index_updates(spark, corpus_dir, tmp_path):
     assert e1.topk("def return value", 10).collect() == e2.topk("def return value", 10).collect()
 
 
+def test_layered_pointer_kernel_rank_identity(spark, corpus_dir, tmp_path):
+    """A layered (NRT) index must keep block-max pruning: the POINTER kernel
+    (forced via exhaustive_threshold=0) over per-segment cursors with
+    avgdl-independent tf-only bounds must be rank-identical to the clean
+    merged build — the Lucene-NRT 'segments stay fully searchable' economics
+    instead of a forced exhaustive scan."""
+    s1, s2, full = _split_corpus(corpus_dir, tmp_path)
+    idx = str(tmp_path / "idx_layered_ptr")
+    clean = str(tmp_path / "idx_clean_ptr")
+    build_index(spark, s1, idx, n_shards=8, units=1, shard_groups=2)
+    add_to_index(spark, s2, idx, n_shards=8, units=1, remerge=False)
+    build_index(spark, full, clean, n_shards=8, units=2, shard_groups=2)
+    # exhaustive_threshold=0 forces the pointer (pruning) kernel everywhere
+    el = IndexQueryEngine(spark, idx, persist_blocks=False, exhaustive_threshold=0)
+    ec = IndexQueryEngine(spark, clean, persist_blocks=False, exhaustive_threshold=0)
+    ex = IndexQueryEngine(spark, idx, persist_blocks=False)  # exhaustive path
+    assert el._bounds == "tf" and ec._bounds == "wtf"
+
+    def close(got, want, tag):
+        # (rank, doc_id) exact; scores to 1e-9 (summation order differs
+        # across kernels/segment layouts by a few ulp)
+        assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want], tag
+        for g, w in zip(got, want):
+            assert abs(g.score - w.score) < 1e-9, (tag, g, w)
+
+    for q in ("def return value", "class import", "the", "def the class"):
+        want = ec.topk(q, 10).collect()
+        close(el.topk(q, 10).collect(), want, q)
+        close(ex.topk(q, 10).collect(), want, q)
+    # batched path too
+    qs = {"q1": "def return value", "q2": "the class"}
+    got_b = sorted(map(tuple, el.topk_batch(qs, 10).collect()))
+    want_b = sorted(map(tuple, ec.topk_batch(qs, 10).collect()))
+    assert [t[:3] for t in got_b] == [t[:3] for t in want_b]
+    for g, w in zip(got_b, want_b):
+        assert abs(g[3] - w[3]) < 1e-9
+
+
 def test_layered_add_then_compact(spark, corpus_dir, tmp_path):
     """remerge=False: new docs are searchable immediately from a layered
     segment (no re-merge, pruning disabled via corpus_stats.layered);
