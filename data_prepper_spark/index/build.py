@@ -407,6 +407,43 @@ def _run_stage_a(
         mark(f"stageA unit {u}")
 
 
+def _ledger_stats(io: TableIO, spark: SparkSession) -> tuple[int, float]:
+    """(n_docs, avgdl) rolled up from the per-unit ledger counters — a pure
+    computation (no table write), so maintenance flows can size their work
+    before deciding when the new stats become visible to queries."""
+    arows = [r for r in _ledger_latest(io, spark) if r["stage"] == "A" and r["state"] == "done"]
+    n_docs = sum(int(r["docs_tokenized"]) for r in arows)
+    dl_sum = sum(int(r["doc_len_sum"]) for r in arows)
+    return n_docs, dl_sum / max(n_docs, 1)
+
+
+def resolved_table_path(index_dir: str, name: str) -> str:
+    """Current-generation directory of an index table (posting_blocks and
+    dictionary move to ``<name>.gen-N`` dirs under atomic refresh; other
+    tables resolve to themselves). For external inspection/tests."""
+    return TableIO(index_dir).rpath(name)
+
+
+def _gc_generations(io: TableIO) -> None:
+    """Delete every non-current generation directory of the versioned
+    tables (orphans from completed swaps or crashed refreshes). At design
+    scale this would honor a reader grace period / Iceberg snapshot
+    retention; in the parquet catalog the sandbox is single-process, and a
+    long-lived IndexQueryEngine pins the generation it was constructed on
+    (re-open after refresh, like a Lucene searcher)."""
+    if io.catalog != "parquet" or not os.path.isdir(io.root):
+        return
+    import shutil
+
+    from ..tableio import GEN_TABLES
+
+    for base in GEN_TABLES:
+        cur = io.resolved(base)
+        for d in os.listdir(io.root):
+            if (d == base or d.startswith(base + ".gen-")) and d != cur:
+                shutil.rmtree(os.path.join(io.root, d), ignore_errors=True)
+
+
 def _write_corpus_stats(
     spark: SparkSession, io: TableIO, layered: int = 0
 ) -> tuple[int, float]:
@@ -414,11 +451,9 @@ def _write_corpus_stats(
     Observation metrics on the write jobs) — no extra scan of the docs
     table; resume-safe because the ledger is durable per unit. ``layered``
     counts un-merged block segments (remerge=False adds); query kernels
-    disable block-max pruning while it is non-zero."""
-    arows = [r for r in _ledger_latest(io, spark) if r["stage"] == "A" and r["state"] == "done"]
-    n_docs = sum(int(r["docs_tokenized"]) for r in arows)
-    dl_sum = sum(int(r["doc_len_sum"]) for r in arows)
-    avgdl = dl_sum / max(n_docs, 1)
+    switch to avgdl-independent tf-only pruning bounds while it is
+    non-zero."""
+    n_docs, avgdl = _ledger_stats(io, spark)
     if io.catalog == "parquet":
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -451,11 +486,18 @@ def _run_stage_b(
     done: set[tuple[str, int]],
     fault_injector,
     mark,
-) -> None:
-    """Stage B: posting runs -> compressed block-max blocks, one ledger
-    commit per shard group."""
+    target_table: str | None = None,
+    commit_ledger: bool = True,
+) -> list[tuple[int, int]]:
+    """Stage B: posting runs -> compressed block-max blocks. With
+    ``commit_ledger`` one ledger commit per shard group (resumable fresh
+    build); without, counts are returned for the caller to commit once the
+    whole output becomes visible (atomic refresh writes into a not-yet-
+    current generation dir, so per-group 'done' rows would lie)."""
     from pyspark.sql import Observation
 
+    target = target_table or io.resolved("posting_blocks")
+    counts: list[tuple[int, int]] = []
     for g in range(shard_groups):
         if ("B", g) in done:
             continue
@@ -470,16 +512,68 @@ def _run_stage_b(
             "overwrite"
         ).option("parquet.bloom.filter.enabled#term_hash", "true").partitionBy(
             "shard"
-        ).parquet(io.path(f"posting_blocks/group={g}"))
+        ).parquet(io.path(f"{target}/group={g}"))
         n_blocks = int(obs_blocks.get["n"])
-        _ledger_append(io, spark, [("B", g, "done", 0, 0, n_blocks, 0, source_path, CODE_VERSION)])
+        counts.append((g, n_blocks))
+        if commit_ledger:
+            _ledger_append(io, spark, [("B", g, "done", 0, 0, n_blocks, 0, source_path, CODE_VERSION)])
         mark(f"stageB group {g}")
+    return counts
 
 
-def _write_dictionary(spark: SparkSession, io: TableIO, postings: DataFrame, mark) -> None:
+def _commit_dict_df(
+    spark: SparkSession, io: TableIO, dic: DataFrame, dict_table: str, partitions: int
+) -> None:
+    """Shared dictionary writer + collision gate.
+
+    hash-partition + sortWithinPartitions: term lookups still prune via
+    parquet row-group min/max inside each sorted file. repartitionByRange
+    would add file-level pruning but costs a range-sampling pass that
+    RE-EXECUTES the whole dictionary aggregation — not worth it.
+    ``partitions`` scales O(shards) (default n_shards/4, floor 8) so the
+    dictionary's file count grows with the index instead of pinning at 8.
+    A parquet bloom filter on term lets the reader skip row groups for
+    ABSENT terms (the min/max ranges of hash-partitioned files are wide,
+    so misses would otherwise scan) — the dictionary-sidecar idea
+    expressed as a writer option."""
+    (
+        dic.repartition(partitions, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .parquet(io.path(dict_table))
+    )
+    # collision gate on the WRITTEN table (a 2-column scan — re-checking the
+    # unmaterialized dic would re-run the whole aggregation): a term_hash
+    # shared by two terms would silently merge their postings at query time
+    collided = (
+        hash_collisions(spark.read.parquet(io.path(dict_table))).limit(1).collect()
+    )
+    if collided:
+        raise RuntimeError(
+            f"xxhash64 term collision detected (term_hash={collided[0]['term_hash']}); "
+            "index is unusable — rebuild with a wider term key"
+        )
+
+
+def _dict_partitions(n_shards: int) -> int:
+    return max(8, n_shards // 4)
+
+
+def _write_dictionary(
+    spark: SparkSession,
+    io: TableIO,
+    postings: DataFrame,
+    mark,
+    blocks_table: str | None = None,
+    dict_table: str | None = None,
+    partitions: int = 8,
+) -> None:
     """Dictionary: df/cf + per-term upper bound for WAND pruning; carries
-    term_hash so query-time block lookup never needs strings."""
-    blocks_all = spark.read.parquet(io.path("posting_blocks"))
+    term_hash so query-time block lookup never needs strings. Explicit
+    ``blocks_table``/``dict_table`` let the atomic refresh aggregate from /
+    write to a not-yet-current generation dir."""
+    blocks_all = spark.read.parquet(io.path(blocks_table or io.resolved("posting_blocks")))
     ub = blocks_all.groupBy("term_hash").agg(
         F.max("block_max_wtf").alias("max_wtf"), F.sum("n_docs").alias("n_blocks_docs")
     )
@@ -488,29 +582,81 @@ def _write_dictionary(spark: SparkSession, io: TableIO, postings: DataFrame, mar
         .withColumn("term_hash", F.xxhash64("term"))
         .join(ub.drop("n_blocks_docs"), "term_hash", "left")
     )
-    # hash-partition + sortWithinPartitions: term lookups still prune via
-    # parquet row-group min/max inside each sorted file. repartitionByRange
-    # would add file-level pruning but costs a range-sampling pass that
-    # RE-EXECUTES the whole dictionary aggregation — not worth it; at
-    # design scale bump 8 -> O(shards) partitions. A parquet bloom filter
-    # on term lets the reader skip row groups for ABSENT terms (the min/max
-    # ranges of hash-partitioned files are wide, so misses would otherwise
-    # scan) — the dictionary-sidecar idea expressed as a writer option.
-    io.write(
-        dic.repartition(8, "term").sortWithinPartitions("term"),
-        "dictionary",
-        options={"parquet.bloom.filter.enabled#term": "true"},
-    )
-    # collision gate on the WRITTEN table (a 2-column scan — re-checking the
-    # unmaterialized dic would re-run the whole aggregation): a term_hash
-    # shared by two terms would silently merge their postings at query time
-    collided = hash_collisions(io.read(spark, "dictionary")).limit(1).collect()
-    if collided:
-        raise RuntimeError(
-            f"xxhash64 term collision detected (term_hash={collided[0]['term_hash']}); "
-            "index is unusable — rebuild with a wider term key"
-        )
+    _commit_dict_df(spark, io, dic, dict_table or io.resolved("dictionary"), partitions)
     mark("dictionary")
+
+
+def _merge_dictionary(
+    spark: SparkSession,
+    io: TableIO,
+    new_posts: DataFrame,
+    seg: int,
+    source_path: str,
+    mark,
+    partitions: int = 8,
+) -> None:
+    """Incremental dictionary maintenance for a layered add: aggregate ONLY
+    the new units' postings and merge df/cf into the existing dictionary —
+    a dictionary-sized outer join instead of the full-corpus postings
+    groupBy a rebuild costs, making the layered add O(new docs) end-to-end
+    (the Lucene analog: per-segment term dictionaries merged, never a
+    corpus re-aggregation).
+
+    max_wtf becomes advisory while the index is layered: the merged value
+    is the max of bounds computed under different avgdls, but layered-index
+    kernels prune with avgdl-independent tf-only bounds (query/wand.py
+    _Cursor) and never read it; refresh_index rebuilds it exactly.
+
+    Idempotent via a stage-"D" ledger row per segment: the merged
+    dictionary is written to the NEXT generation dir, the D row records
+    that target, and the generation pointer bump is the commit point — a
+    crashed merge either re-runs against the still-current old dictionary
+    or just finishes the pointer bump.
+    """
+    d_rows = [
+        r for r in _ledger_latest(io, spark)
+        if r["stage"] == "D" and r["state"] == "done" and int(r["unit_id"]) == seg
+    ]
+    gens = io.gen_state()
+    cur_gen = gens.get("dictionary", 0)
+    if d_rows:
+        want = int(str(d_rows[0]["source_snapshot"]).split(":", 2)[1])
+        if cur_gen < want and os.path.isdir(io.path(f"dictionary.gen-{want}")):
+            io.set_gen_state(dictionary=want)  # finish a crashed swap
+            _gc_generations(io)
+        mark("dictionary merge (already done)")
+        return
+    target_gen = cur_gen + 1
+    target = f"dictionary.gen-{target_gen}"
+    seg_blocks = spark.read.parquet(io.rpath(f"posting_blocks/group={seg}"))
+    seg_ub = seg_blocks.groupBy("term_hash").agg(F.max("block_max_wtf").alias("new_max_wtf"))
+    new_dic = (
+        dictionary_from_postings(new_posts)
+        .withColumn("term_hash", F.xxhash64("term"))
+        .join(seg_ub, "term_hash", "left")
+    )
+    old = io.read(spark, "dictionary")
+    merged = (
+        old.alias("o")
+        .join(new_dic.alias("n"), F.col("o.term") == F.col("n.term"), "full_outer")
+        .select(
+            F.coalesce("o.term", "n.term").alias("term"),
+            (F.coalesce("o.df", F.lit(0)) + F.coalesce("n.df", F.lit(0))).alias("df"),
+            (F.coalesce("o.cf", F.lit(0)) + F.coalesce("n.cf", F.lit(0))).alias("cf"),
+            F.coalesce("o.term_hash", "n.term_hash").alias("term_hash"),
+            F.greatest(
+                F.coalesce("o.max_wtf", F.lit(0.0)), F.coalesce("n.new_max_wtf", F.lit(0.0))
+            ).alias("max_wtf"),
+        )
+    )
+    _commit_dict_df(spark, io, merged, target, partitions)
+    _ledger_append(
+        io, spark,
+        [("D", seg, "done", 0, 0, 0, 0, f"dictgen:{target_gen}:{source_path}", CODE_VERSION)],
+    )
+    io.set_gen_state(dictionary=target_gen)  # commit point
+    _gc_generations(io)
+    mark("dictionary merge")
 
 
 def build_index(
@@ -537,9 +683,22 @@ def build_index(
         # corpus-stats rollup, and stale unit dirs from a previous build
         # with a different `units`/`shard_groups` layout would be picked up
         # by the recursive postings/blocks reads
-        for tbl in ("build_ledger", "docs", "postings", "posting_blocks",
-                    "corpus_stats", "dictionary"):
+        for tbl in ("build_ledger", "docs", "postings", "corpus_stats"):
             io.drop(spark, tbl)
+        if io.catalog == "parquet" and os.path.isdir(io.root):
+            # generation-versioned tables: drop every generation + pointer
+            import shutil
+
+            from ..tableio import _GEN_FILE
+
+            for d in list(os.listdir(io.root)):
+                if d.startswith("posting_blocks") or d.startswith("dictionary"):
+                    shutil.rmtree(os.path.join(io.root, d), ignore_errors=True)
+            if os.path.exists(io.path(_GEN_FILE)):
+                os.remove(io.path(_GEN_FILE))
+        else:
+            io.drop(spark, "posting_blocks")
+            io.drop(spark, "dictionary")
     done = _ledger_done(io, spark) if resume else set()
 
     files = _source_files(source_path)
@@ -556,7 +715,7 @@ def build_index(
         spark, io, postings, avgdl, block_size, shard_groups, source_path,
         done, fault_injector, _mark,
     )
-    _write_dictionary(spark, io, postings, _mark)
+    _write_dictionary(spark, io, postings, _mark, partitions=_dict_partitions(n_shards))
     return BuildResult(out_dir, n_docs, avgdl, n_shards)
 
 
@@ -637,30 +796,55 @@ def add_to_index(
             fault_injector=fault_injector,
         )
 
-    # ---- layered add: encode ONLY the new units' runs as a fresh segment
-    prev_layered = 0
-    if io.exists("corpus_stats"):
-        row = io.read(spark, "corpus_stats").collect()[0]
-        if "layered" in row.__fields__ and row["layered"] is not None:
-            prev_layered = int(row["layered"])
-    n_docs, avgdl = _write_corpus_stats(spark, io, layered=prev_layered + 1)
+    # ---- layered add (Lucene-NRT style): encode ONLY the new units' runs
+    # as a fresh segment, and merge (not rebuild) the dictionary — the
+    # whole add touches O(new docs) rows plus one dictionary-sized join.
+    latest = _ledger_latest(io, spark)  # re-read: stage A just appended
+    lay_tag = f"layered:{source_path}"
+    prior = [
+        r for r in latest
+        if r["stage"] == "B" and str(r["source_snapshot"] or "") == lay_tag
+    ]
+    done_prior = [r for r in prior if r["state"] == "done"]
+    if any(r["state"] == "compacted" for r in prior) and not done_prior:
+        # this batch's layered segment was already compacted into the
+        # canonical groups by a refresh — replaying the add must be a
+        # no-op, not a duplicate segment
+        n_docs, avgdl = _ledger_stats(io, spark)
+        return BuildResult(out_dir, n_docs, avgdl, n_shards)
+    layered_done = {
+        r["unit_id"] for r in latest
+        if r["stage"] == "B" and r["state"] == "done"
+        and str(r["source_snapshot"] or "").startswith("layered:")
+    }
+    if done_prior:
+        seg = int(done_prior[0]["unit_id"])  # crash-retry: reuse, overwrite
+    else:
+        seg = max((r["unit_id"] for r in latest if r["stage"] == "B"), default=-1) + 1
+    # corpus stats FIRST: layered>0 flips query kernels to the
+    # avgdl-independent tf-only pruning bounds BEFORE any mixed-avgdl
+    # segment becomes visible; n_docs/avgdl roll up from the ledger (stage
+    # A is committed), so this write is idempotent across crash-retries
+    n_docs, avgdl = _write_corpus_stats(spark, io, layered=len(layered_done | {seg}))
     new_posts = spark.read.parquet(
         *[io.path(f"postings/unit={u}") for u, _ in unit_files]
     )
-    seg = max((r["unit_id"] for r in latest if r["stage"] == "B"), default=-1) + 1
     blocks = blocks_from_postings(new_posts, avgdl, block_size)
     from pyspark.sql import Observation
 
     obs = Observation()
     blocks.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").option(
         "parquet.bloom.filter.enabled#term_hash", "true"
-    ).partitionBy("shard").parquet(io.path(f"posting_blocks/group={seg}"))
+    ).partitionBy("shard").parquet(io.rpath(f"posting_blocks/group={seg}"))
     _ledger_append(
         io, spark,
-        [("B", seg, "done", 0, 0, int(obs.get["n"]), 0, f"layered:{source_path}", CODE_VERSION)],
+        [("B", seg, "done", 0, 0, int(obs.get["n"]), 0, lay_tag, CODE_VERSION)],
     )
     _mark(f"layered segment {seg}")
-    _write_dictionary(spark, io, spark.read.parquet(io.path("postings")), _mark)
+    _merge_dictionary(
+        spark, io, new_posts, seg, source_path, _mark,
+        partitions=_dict_partitions(n_shards),
+    )
     return BuildResult(out_dir, n_docs, avgdl, n_shards)
 
 
@@ -688,38 +872,65 @@ def refresh_index(
     if not any(r["stage"] == "A" and r["state"] == "done" for r in latest):
         raise ValueError("refresh_index requires committed stage-A units")
     b_rows = [r for r in latest if r["stage"] == "B" and r["state"] == "done"]
-    layered_ids = sorted(
-        r["unit_id"] for r in b_rows
+    layered_rows = [
+        r for r in b_rows
         if str(r["source_snapshot"] or "").startswith("layered:")
-    )
+    ]
     if shard_groups is None:
-        canonical = {r["unit_id"] for r in b_rows} - set(layered_ids)
+        canonical = {r["unit_id"] for r in b_rows} - {r["unit_id"] for r in layered_rows}
         shard_groups = max(1, len(canonical))
 
-    n_docs, avgdl = _write_corpus_stats(spark, io, layered=0)
+    n_docs, avgdl = _ledger_stats(io, spark)  # computed only; written post-swap
     postings = spark.read.parquet(io.path("postings"))
     if n_shards is None:
         n_shards = int(postings.agg(F.max("shard")).collect()[0][0]) + 1
-    _mark("corpus_stats")
+    _mark("stats")
 
-    # invalidate every stage-B group: new docs hash into all shards and the
-    # updated avgdl changes every block's wtf bound. Latest-wins ledger rows
-    # keep the lineage (the 'invalidated' row records WHY group g re-ran).
-    # Layered segment dirs are compacted away entirely, so the whole
-    # posting_blocks tree is dropped and rebuilt into canonical groups.
+    # ---- atomic generation swap: every output below lands in a NOT-yet-
+    # current `<table>.gen-N` dir; the single pointer-file rename in
+    # set_gen_state is the commit point (Iceberg snapshot semantics,
+    # approximated for the parquet catalog — on DPS_CATALOG=iceberg the
+    # createOrReplace commit plays this role natively). A crash at ANY
+    # step leaves the previous generation fully queryable: corpus_stats
+    # still carries the old layered count, so kernels keep the bounds that
+    # match the still-visible blocks, and a re-run simply rebuilds the
+    # same target dirs from scratch.
+    gens = io.gen_state()
+    pb_gen = gens.get("posting_blocks", 0) + 1
+    d_gen = gens.get("dictionary", 0) + 1
+    pb_target = f"posting_blocks.gen-{pb_gen}"
+    if io.catalog == "parquet":
+        import shutil
+
+        # a crashed earlier refresh may have left a partial target tree
+        # (possibly with a different group layout) — start clean
+        shutil.rmtree(io.path(pb_target), ignore_errors=True)
+    counts = _run_stage_b(
+        spark, io, postings, avgdl, block_size, shard_groups, source_tag,
+        set(), fault_injector, _mark,
+        target_table=pb_target, commit_ledger=False,
+    )
+    _write_dictionary(
+        spark, io, postings, _mark,
+        blocks_table=pb_target, dict_table=f"dictionary.gen-{d_gen}",
+        partitions=_dict_partitions(n_shards),
+    )
+    io.set_gen_state(posting_blocks=pb_gen, dictionary=d_gen)  # COMMIT POINT
+    _write_corpus_stats(spark, io, layered=0)
+    # ledger lineage, one append, 'done' rows last (latest-wins ties break
+    # on file order): 'invalidated' records WHY each canonical group
+    # re-ran; 'compacted' rows KEEP their original layered:<path>
+    # source_snapshot so a replayed add of the same batch recognizes
+    # itself as already ingested.
     _ledger_append(
         io, spark,
         [("B", g, "invalidated", 0, 0, 0, 0, source_tag, CODE_VERSION) for g in range(shard_groups)]
-        + [("B", g, "compacted", 0, 0, 0, 0, source_tag, CODE_VERSION) for g in layered_ids],
+        + [
+            ("B", int(r["unit_id"]), "compacted", 0, 0, 0, 0,
+             str(r["source_snapshot"]), CODE_VERSION)
+            for r in layered_rows
+        ]
+        + [("B", g, "done", 0, 0, n, 0, source_tag, CODE_VERSION) for g, n in counts],
     )
-    # (at design scale this drop-and-rebuild would instead write to a new
-    # generation dir and atomically swap a pointer — Iceberg snapshot
-    # semantics via the TableIO seam; in the parquet catalog a crashed
-    # refresh is recovered by re-running it)
-    io.drop(spark, "posting_blocks")
-    _run_stage_b(
-        spark, io, postings, avgdl, block_size, shard_groups, source_tag,
-        set(), fault_injector, _mark,
-    )
-    _write_dictionary(spark, io, postings, _mark)
+    _gc_generations(io)
     return BuildResult(out_dir, n_docs, avgdl, n_shards)

@@ -11,7 +11,12 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from data_prepper_spark.index.build import add_to_index, build_index, refresh_index
+from data_prepper_spark.index.build import (
+    add_to_index,
+    build_index,
+    refresh_index,
+    resolved_table_path,
+)
 from data_prepper_spark.query.engine import IndexQueryEngine
 
 
@@ -53,9 +58,13 @@ def test_add_to_index_equals_clean_build(spark, corpus_dir, tmp_path):
         "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, "
         "doc_gaps, tfs, dls, block_max_tf, block_max_wtf))"
     )
-    assert _chk(spark, f"{inc}/posting_blocks", bexpr) == _chk(spark, f"{clean}/posting_blocks", bexpr)
+    assert _chk(spark, resolved_table_path(inc, "posting_blocks"), bexpr) == _chk(
+        spark, resolved_table_path(clean, "posting_blocks"), bexpr
+    )
     dexpr = "bit_xor(xxhash64(term, term_hash, df, cf, max_wtf))"
-    assert _chk(spark, f"{inc}/dictionary", dexpr) == _chk(spark, f"{clean}/dictionary", dexpr)
+    assert _chk(spark, resolved_table_path(inc, "dictionary"), dexpr) == _chk(
+        spark, resolved_table_path(clean, "dictionary"), dexpr
+    )
     # query parity on the maintained index
     e1, e2 = IndexQueryEngine(spark, inc, persist_blocks=False), IndexQueryEngine(spark, clean, persist_blocks=False)
     for q in ("def return value", "class import"):
@@ -125,7 +134,9 @@ def test_streaming_index_updates(spark, corpus_dir, tmp_path):
         "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, "
         "doc_gaps, tfs, dls, block_max_tf, block_max_wtf))"
     )
-    assert _chk(spark, f"{out}/posting_blocks", bexpr) == _chk(spark, f"{clean}/posting_blocks", bexpr)
+    assert _chk(spark, resolved_table_path(out, "posting_blocks"), bexpr) == _chk(
+        spark, resolved_table_path(clean, "posting_blocks"), bexpr
+    )
     e1 = IndexQueryEngine(spark, out, persist_blocks=False)
     e2 = IndexQueryEngine(spark, clean, persist_blocks=False)
     assert e1.topk("def return value", 10).collect() == e2.topk("def return value", 10).collect()
@@ -202,8 +213,109 @@ def test_layered_add_then_compact(spark, corpus_dir, tmp_path):
         "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, "
         "doc_gaps, tfs, dls, block_max_tf, block_max_wtf))"
     )
-    assert _chk(spark, f"{idx}/posting_blocks", bexpr) == _chk(spark, f"{clean}/posting_blocks", bexpr)
+    assert _chk(spark, resolved_table_path(idx, "posting_blocks"), bexpr) == _chk(
+        spark, resolved_table_path(clean, "posting_blocks"), bexpr
+    )
     import os
 
-    groups = sorted(d for d in os.listdir(f"{idx}/posting_blocks") if d.startswith("group="))
+    groups = sorted(
+        d for d in os.listdir(resolved_table_path(idx, "posting_blocks")) if d.startswith("group=")
+    )
     assert groups == ["group=0", "group=1"]  # layered segment dir compacted away
+
+
+def test_refresh_crash_leaves_old_index_queryable(spark, corpus_dir, tmp_path):
+    """Atomic refresh: a crash DURING refresh (stage B of the new
+    generation) must leave the previous generation fully queryable with
+    unchanged results — the generation-pointer swap is the commit point.
+    A re-run then completes and matches a clean build bit-identically."""
+    s1, s2, full = _split_corpus(corpus_dir, tmp_path)
+    idx = str(tmp_path / "idx_atomic")
+    clean = str(tmp_path / "idx_clean_atomic")
+    build_index(spark, s1, idx, n_shards=8, units=1, shard_groups=2)
+    add_to_index(spark, s2, idx, n_shards=8, units=1, remerge=False)
+    pre = IndexQueryEngine(spark, idx, persist_blocks=False).topk("def return value", 10).collect()
+    pre_stats = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    assert pre_stats["layered"] == 1
+
+    def boom(stage, unit):
+        if stage == "B" and unit == 1:
+            raise RuntimeError("injected mid-refresh")
+
+    with pytest.raises(RuntimeError, match="injected"):
+        refresh_index(spark, idx, fault_injector=boom)
+    # old generation untouched: same layered flag, same query results
+    stats = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    assert stats["layered"] == 1
+    post = IndexQueryEngine(spark, idx, persist_blocks=False).topk("def return value", 10).collect()
+    assert post == pre
+    # re-run completes atomically and equals the clean build
+    refresh_index(spark, idx)
+    build_index(spark, full, clean, n_shards=8, units=2, shard_groups=2)
+    bexpr = (
+        "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, "
+        "doc_gaps, tfs, dls, block_max_tf, block_max_wtf))"
+    )
+    assert _chk(spark, resolved_table_path(idx, "posting_blocks"), bexpr) == _chk(
+        spark, resolved_table_path(clean, "posting_blocks"), bexpr
+    )
+    assert spark.read.parquet(f"{idx}/corpus_stats").collect()[0]["layered"] == 0
+    # old generation dirs were garbage-collected after the swap
+    stray = [
+        d for d in os.listdir(idx)
+        if (d == "posting_blocks" or d == "dictionary")
+        or (d.startswith("posting_blocks.gen-") and f"{idx}/{d}" != resolved_table_path(idx, "posting_blocks"))
+        or (d.startswith("dictionary.gen-") and f"{idx}/{d}" != resolved_table_path(idx, "dictionary"))
+    ]
+    assert stray == [], stray
+
+
+def test_layered_add_idempotent_and_merged_dictionary(spark, corpus_dir, tmp_path):
+    """Layered adds must be replay-safe (same batch re-added => bit-identical
+    index, layered count stays 1) and the MERGED dictionary (O(new docs)
+    aggregation + dictionary-sized join, no full-postings rebuild) must
+    carry exactly the df/cf/term_hash a clean full build computes."""
+    s1, s2, full = _split_corpus(corpus_dir, tmp_path)
+    idx = str(tmp_path / "idx_lay_idem")
+    clean = str(tmp_path / "idx_clean_lay")
+    build_index(spark, s1, idx, n_shards=8, units=1, shard_groups=2)
+    add_to_index(spark, s2, idx, n_shards=8, units=1, remerge=False)
+
+    def snap():
+        b = _chk(
+            spark, resolved_table_path(idx, "posting_blocks"),
+            "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, doc_gaps, tfs, dls))",
+        )
+        d = _chk(
+            spark, resolved_table_path(idx, "dictionary"),
+            "bit_xor(xxhash64(term, term_hash, df, cf))",
+        )
+        s = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+        return (b, d, s["n_docs"], s["avgdl"], s["layered"])
+
+    first = snap()
+    assert first[4] == 1
+    # replay the same batch: stage A skipped, segment overwritten
+    # identically, dictionary NOT merged twice
+    add_to_index(spark, s2, idx, n_shards=8, units=1, remerge=False)
+    assert snap() == first
+    # merged dictionary df/cf/term_hash == clean full build's (max_wtf is
+    # advisory while layered — kernels use tf-only bounds — so excluded)
+    build_index(spark, full, clean, n_shards=8, units=2, shard_groups=2)
+    dexpr = "bit_xor(xxhash64(term, term_hash, df, cf))"
+    assert _chk(spark, resolved_table_path(idx, "dictionary"), dexpr) == _chk(
+        spark, resolved_table_path(clean, "dictionary"), dexpr
+    )
+    # replay after compaction must also be a no-op (no duplicate segment)
+    refresh_index(spark, idx)
+    post_refresh = _chk(
+        spark, resolved_table_path(idx, "posting_blocks"),
+        "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, doc_gaps, tfs, dls))",
+    )
+    r = add_to_index(spark, s2, idx, n_shards=8, units=1, remerge=False)
+    assert _chk(
+        spark, resolved_table_path(idx, "posting_blocks"),
+        "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, doc_gaps, tfs, dls))",
+    ) == post_refresh
+    assert spark.read.parquet(f"{idx}/corpus_stats").collect()[0]["layered"] == 0
+    assert r.n_docs == first[2]
