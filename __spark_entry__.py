@@ -566,6 +566,17 @@ def q_phrase_search(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id")
 
 
+def q_phrase_prox_topk(spark, sf_dir):
+    """Proximity-SCORED phrase top-k (Lucene PhraseQuery scoring): the
+    phrase is a pseudo-term with freq = exact-occurrence count and idf =
+    sum of per-position term idfs, so occurrence count and doc length
+    drive the ranking (query/phrase.py phrase_topk_adhoc; the indexed
+    twin phrase_topk(proximity=True) is parity-tested in pytest)."""
+    from data_prepper_spark.query.phrase import phrase_topk_adhoc
+
+    return phrase_topk_adhoc(_t(spark, sf_dir, "documents"), "text", "doc_id", PHRASE, k=10)
+
+
 def q_text_quality(spark, sf_dir):
     return textstats.text_quality(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -665,6 +676,40 @@ bs as (select id, {bit_sums} from w group by id),
 sig as (select id, cast({sig_expr} as bigint) as simhash from bs)"""
 
 
+def _phrase_prox_oracle(toks: str, phrase: str, k: int = 10) -> str:
+    """DuckDB twin of query/phrase.py phrase_topk_adhoc (Lucene
+    PhraseQuery scoring: pf-frequency BM25 with summed per-position
+    idfs)."""
+    from data_prepper_spark.analyzer import tokenize_py
+
+    terms = tokenize_py(phrase)
+    uniq = sorted(set(terms))
+    idx = {t: i for i, t in enumerate(uniq)}
+    df_cols = ", ".join(
+        f"count(*) filter (where len(list_filter(toks, x -> x = '{t}')) > 0) as df_{i}"
+        for i, t in enumerate(uniq)
+    )
+    adj = " and ".join(f"toks[i+{j + 1}] = '{t}'" for j, t in enumerate(terms))
+    sum_idf = " + ".join(
+        f"ln(1 + (n - df_{idx[t]} + 0.5) / (df_{idx[t]} + 0.5))" for t in terms
+    )
+    return f"""
+        with base as (select doc_id, {toks} as toks from documents),
+        b2 as (select doc_id, len(toks) as dl, toks from base),
+        stats as (select count(*) as n, avg(dl) as avgdl, {df_cols} from b2),
+        m as (select doc_id, dl,
+                cast(len(list_filter(range(len(toks) - {len(terms) - 1}),
+                     i -> {adj})) as int) as n_matches
+              from b2),
+        sc as (select doc_id, n_matches,
+                round(({sum_idf}) * (n_matches * 2.2)
+                      / (n_matches + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) as score
+               from m, stats where n_matches > 0)
+        select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+               doc_id, score, n_matches
+        from sc order by score desc, doc_id asc limit {k}"""
+
+
 def _textops_oracles() -> dict[str, str]:
     toks = duckdb_tokens_sql("text")
     stop_in = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
@@ -729,6 +774,7 @@ def _textops_oracles() -> dict[str, str]:
                    cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
             from sig a join sig b on a.id < b.id
             where bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "phrase_prox_topk": _phrase_prox_oracle(toks, PHRASE),
         "phrase_search": f"""
             with tk as (select doc_id, {toks} as toks from documents),
             m as (select doc_id,
@@ -1299,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "phrase_search": q_phrase_search,
+        "phrase_prox_topk": q_phrase_prox_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint,

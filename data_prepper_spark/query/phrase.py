@@ -82,23 +82,43 @@ def phrase_docs(
     spark: SparkSession, index_dir: str, phrase: str, n_shards: int = 64
 ) -> DataFrame:
     """(doc_id, n_matches) for documents containing the exact phrase,
-    from the positions table."""
+    from the positions table.
+
+    The n-way (shard, doc_id) equi-join chain is ordered by ascending
+    document frequency (rarest term first, from the dictionary): the first
+    join input is then the smallest postings set and every subsequent join
+    prunes maximally early — a phrase starting with a stopword-ish token
+    no longer makes the largest term's positions the build side of the
+    whole chain. Join order does not affect the result (inner equi-joins
+    commute); the adjacency filter still anchors on the phrase's FIRST
+    term's positions."""
     io = TableIO(index_dir)
     terms = tokenize_py(phrase)
     empty = "doc_id long, n_matches int"
     if not terms:
         return spark.createDataFrame([], empty)
+    df_by_term: dict[str, int] = {}
+    if io.exists("dictionary"):
+        rows = (
+            io.read(spark, "dictionary")
+            .where(F.col("term").isin(sorted(set(terms))))
+            .select("term", "df")
+            .collect()
+        )
+        df_by_term = {r["term"]: int(r["df"]) for r in rows}
+    join_order = sorted(
+        range(len(terms)), key=lambda j: (df_by_term.get(terms[j], 1 << 60), j)
+    )
     pos = spark.read.parquet(io.path("positions"))
     cur = None
-    pos_cols = []
-    for j, t in enumerate(terms):
-        h = _term_hash_literal(spark, t)
+    for j in join_order:
+        h = _term_hash_literal(spark, terms[j])
         tj = (
             pos.where(F.col("term_hash") == h)
             .select("shard", "doc_id", F.col("positions").alias(f"pos_{j}"))
         )
         cur = tj if cur is None else cur.join(tj, ["shard", "doc_id"])
-        pos_cols.append(F.col(f"pos_{j}"))
+    pos_cols = [F.col(f"pos_{j}") for j in range(len(terms))]
     matched = cur.withColumn("__m", _adjacency_filter(pos_cols)).where(F.size("__m") > 0)
     return matched.select("doc_id", F.size("__m").cast("int").alias("n_matches"))
 
@@ -109,29 +129,62 @@ def _term_hash_literal(spark: SparkSession, term: str):
 
 
 def phrase_topk(
-    spark: SparkSession, index_dir: str, phrase: str, k: int = 10
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    proximity: bool = False,
 ) -> DataFrame:
     """(rank, doc_id, score, n_matches): documents containing the EXACT
-    phrase, ranked by the BM25 score of the phrase's terms (Lucene
-    match_phrase + relevance analog).
+    phrase, ranked by relevance.
 
-    Plan: positions-table adjacency join (phrase_docs) produces the
-    candidate set; the postings table scores the phrase's distinct terms
-    (term-pruned scan + broadcast idf join); a semi-ish inner join keeps
-    scores for matching docs only, then TakeOrderedAndProject. Both sides
-    are shard/doc-partitioned tables of the same index — no full scan.
+    Two scoring modes, both over the same positions-table candidate set
+    (phrase_docs — df-ordered adjacency join):
+
+    - ``proximity=False`` (bag mode): BM25 over the phrase's distinct
+      terms — the postings table scores them (term-pruned scan + broadcast
+      idf join) and an inner join keeps matching docs. Phrase occurrence
+      count does not influence the score.
+    - ``proximity=True`` (Lucene PhraseQuery scoring): the phrase itself
+      is scored as a pseudo-term — freq = number of exact-phrase
+      occurrences (n_matches), idf = sum of the phrase terms' idfs (per
+      position, duplicates counted, as Lucene sums per-term weights), so
+      ``score = sum_idf * (pf*(k1+1))/(pf + k1*(1-b+b*dl/avgdl))``. A doc
+      containing the phrase three times now outranks a one-occurrence doc
+      of equal length. Needs only doc_len (docs table join) — no postings
+      scan at all, so this mode is CHEAPER than bag mode at scale.
     """
     from .bm25 import score_expr
     from .common import load_stats, query_term_stats
 
     io = TableIO(index_dir)
     n_docs, avgdl = load_stats(spark, io)
-    terms = sorted(set(tokenize_py(phrase)))
+    all_terms = tokenize_py(phrase)
+    terms = sorted(set(all_terms))
     empty = "rank int, doc_id long, score double, n_matches int"
     tstats = query_term_stats(spark, io, terms, n_docs)
     if not tstats:
         return spark.createDataFrame([], empty)
     matches = phrase_docs(spark, index_dir, phrase)
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    if proximity:
+        missing = [t for t in all_terms if t not in tstats]
+        if missing:
+            return spark.createDataFrame([], empty)  # phrase can't match
+        sum_idf = sum(tstats[t]["idf"] for t in all_terms)
+        dl = io.read(spark, "docs").select("doc_id", "doc_len")
+        pf = F.col("n_matches").cast("double")
+        scored = matches.join(dl, "doc_id").select(
+            "doc_id",
+            "n_matches",
+            score_expr(F.lit(sum_idf), pf, F.col("doc_len"), avgdl).alias("score"),
+        )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return topk.select(w.alias("rank"), "doc_id", "score", "n_matches")
     idf_df = spark.createDataFrame(
         [(t, s["idf"]) for t, s in tstats.items()], "term string, idf double"
     )
@@ -149,11 +202,6 @@ def phrase_topk(
         matches.join(scored, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
-    )
-    from pyspark.sql.window import Window
-
-    w = F.row_number().over(
-        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
     )
     return topk.select(w.alias("rank"), "doc_id", "score", "n_matches")
 
@@ -204,3 +252,98 @@ def phrase_match_adhoc(
         per_doc.select("id", matches.cast("int").alias("n_matches"))
         .where(F.col("n_matches") > 0)
     )
+
+
+def phrase_topk_adhoc(
+    docs: DataFrame,
+    content_col: str,
+    id_col: str,
+    phrase: str,
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """(rank, doc_id, score, n_matches) — Lucene-PhraseQuery-scored phrase
+    top-k straight over a corpus, no index: the index-free/oracle twin of
+    ``phrase_topk(proximity=True)`` (parity asserted in tests).
+
+    Scoring: the phrase is a pseudo-term with freq = exact-occurrence
+    count and idf = sum of per-position term idfs (duplicates counted), so
+    ``score = sum_idf * (pf*(k1+1)) / (pf + k1*(1-b+b*dl/avgdl))``,
+    rounded to ``round_to`` for float-stable oracle comparison.
+
+    Plan (pure Catalyst, tokenize-once): posexplode_outer keeps empty docs
+    in the corpus statistics; one partial-aggregated groupBy(id) collects
+    per-term position arrays AND doc length (max(pos)+1 — no second
+    tokenization); a single 1-row aggregate derives n_docs/avgdl/per-term
+    df and is broadcast into the scoring expression."""
+    from .common import B as _B
+    from .common import K1 as _K1
+
+    terms = tokenize_py(phrase)
+    assert terms, "empty phrase after analysis"
+    uniq = sorted(set(terms))
+    toked = spread(
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.posexplode_outer(tokens_col(content_col)).alias("pos", "term"),
+        )
+    )
+    per_doc = toked.groupBy("id").agg(
+        (F.coalesce(F.max("pos"), F.lit(-1)) + 1).alias("dl"),
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+            ).alias(f"pos_{i}")
+            for i, t in enumerate(uniq)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.size(f"pos_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(uniq))
+        ],
+    )
+    pos_for = {t: F.col(f"pos_{i}") for i, t in enumerate(uniq)}
+    anchor = pos_for[terms[0]]
+
+    def ok(p):
+        c = F.lit(True)
+        for j, t in enumerate(terms[1:], start=1):
+            c = c & F.array_contains(pos_for[t], p + j)
+        return c
+
+    matched = per_doc.withColumn(
+        "n_matches", F.size(F.filter(anchor, ok)).cast("int")
+    ).where(F.col("n_matches") > 0)
+    # sum of per-position idfs: duplicates in the phrase each contribute
+    idf_terms = [
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df_{uniq.index(t)}") + 0.5)
+            / (F.col(f"df_{uniq.index(t)}") + 0.5)
+        )
+        for t in terms
+    ]
+    sum_idf = idf_terms[0]
+    for e in idf_terms[1:]:
+        sum_idf = sum_idf + e
+    pf = F.col("n_matches").cast("double")
+    scored = matched.join(F.broadcast(stats)).select(
+        F.col("id").alias("doc_id"),
+        F.round(
+            sum_idf
+            * (pf * (_K1 + 1))
+            / (pf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+            round_to,
+        ).alias("score"),
+        "n_matches",
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from pyspark.sql.window import Window
+
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return topk.select(w.alias("rank"), "doc_id", "score", "n_matches")

@@ -50,6 +50,38 @@ def test_multi_term_adjacency_strict(spark):
     assert got == {1: 1, 3: 2}
 
 
+def test_phrase_topk_proximity_parity_and_ordering(spark, corpus_dir, pos_index, index_dir):
+    """Lucene-PhraseQuery scoring: the indexed proximity path and the
+    index-free adhoc path must produce the same ranking and (to rounding)
+    the same scores, and phrase frequency must actually influence rank —
+    equal-length docs order by occurrence count."""
+    import shutil
+
+    from data_prepper_spark.query.phrase import phrase_topk, phrase_topk_adhoc
+
+    shutil.copytree(f"{pos_index}/positions", f"{index_dir}/positions", dirs_exist_ok=True)
+    from data_prepper_spark.index.build import doc_id_col
+
+    docs = spark.read.parquet(corpus_dir).withColumn("did", doc_id_col())
+    for phrase in ("return self", "def"):
+        idxed = phrase_topk(spark, index_dir, phrase, k=10, proximity=True).collect()
+        adhoc = phrase_topk_adhoc(docs, "content", "did", phrase, k=10).collect()
+        assert [(r.rank, r.doc_id, r.n_matches) for r in idxed] == [
+            (r.rank, r.doc_id, r.n_matches) for r in adhoc
+        ], phrase
+        for a, b in zip(idxed, adhoc):
+            assert abs(a.score - b.score) < 1e-3, (phrase, a, b)
+    # pf sensitivity: same dl, more occurrences => higher proximity score
+    rows = [
+        (1, "alpha beta pad pad pad pad"),
+        (2, "alpha beta pad alpha beta p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = phrase_topk_adhoc(df, "text", "doc_id", "alpha beta", k=10).collect()
+    assert [r.doc_id for r in got] == [2, 1]
+    assert got[0].score > got[1].score
+
+
 def test_phrase_topk_ranked(spark, corpus_dir, pos_index, index_dir):
     """phrase_topk = phrase filter + BM25 ranking: every returned doc
     contains the phrase, scores equal the terms' BM25 scores, order is
