@@ -1038,6 +1038,20 @@ def q_anomaly_zscore(spark, sf_dir):
     return out.select("event_id", "event_type", F.round("deviation", 4).alias("deviation"))
 
 
+def q_anomaly_rcf(spark, sf_dir):
+    """Random-cut-forest anomalies per event_type (reference
+    RandomCutForestMode analog; seeded per-group isolation forest via
+    applyInPandas — deterministic, but the forest's random cuts are not
+    SQL-expressible, so the driver records a rows-only check; the
+    operator's behavior is pytest-verified on drift series and the cap
+    contract)."""
+    from data_prepper_spark.operators.anomaly import rcf_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    out = rcf_anomalies(ev, ["event_type"], "value", score_threshold=0.62)
+    return out.select("event_id", "event_type", F.round("grade", 4).alias("grade"))
+
+
 def q_csv_roundtrip(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "line",
@@ -1367,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "obfuscate_redact": q_obfuscate_redact,
         "user_agent_parse": q_user_agent_parse,
         "anomaly_zscore": q_anomaly_zscore,
+        "anomaly_rcf": q_anomaly_rcf,
         "csv_roundtrip": q_csv_roundtrip,
         "mutate_event_ops": q_mutate_event_ops,
         "pipeline_yaml": q_pipeline_yaml,
@@ -1384,6 +1399,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(_roundtrip_oracles())
     out.update(_textops_oracles())
     out.update(_extra_oracles())
+    # minhash_lsh_pairs (raw candidates) / ann_lsh_topk / anomaly_rcf:
+    # engine-hash-/forest-dependent — driver records rows-only checks.
     # minhash_lsh_pairs (raw candidates) / ann_lsh_topk: engine-hash-
     # dependent (xxhash64 minhash perms / signed projections) — driver
     # records rows-only checks. Their verified/exact siblings

@@ -50,7 +50,7 @@ def test_zscore_anomalies(spark):
 def test_rcf_anomalies(spark):
     rows = [("a", float(v)) for v in range(100)] + [("a", 10000.0)]
     df = spark.createDataFrame(rows, "k string, v double")
-    out = rcf_anomalies(df, ["k"], "v", quantile=0.95).collect()
+    out = rcf_anomalies(df, ["k"], "v").collect()
     assert any(r["v"] == 10000.0 and r["grade"] > 0 for r in out)
 
 
@@ -109,3 +109,36 @@ def test_percent_sampler_share(spark):
     df = spark.createDataFrame(rows, "k string, i long")
     out = agg_ops.percent_sampler(df, ["k"], 10.0, "i").collect()
     assert sorted(r["i"] for r in out) == list(range(10))
+
+
+def test_rcf_drift_series_shingled(spark):
+    """Real RCF behavior the quantile proxy could not show: a level shift
+    in a shingled time series is flagged at the shift point even though
+    every individual value stays inside the historical range; and the
+    seeded forest is deterministic across reruns."""
+    from data_prepper_spark.operators.anomaly import rcf_anomalies
+
+    # steady alternation 10/11, then a one-step jump to 30 at t=80
+    vals = [10.0 if i % 2 == 0 else 11.0 for i in range(80)] + [30.0] + [
+        10.0 if i % 2 == 0 else 11.0 for i in range(81, 120)
+    ]
+    rows = [("srv", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = rcf_anomalies(
+        df, ["k"], "v", shingle_size=4, order_key="t", score_threshold=0.55
+    ).collect()
+    flagged_t = {r["t"] for r in out}
+    assert any(80 <= t <= 83 for t in flagged_t), flagged_t  # the shift windows
+    assert all(t >= 78 for t in flagged_t), flagged_t  # steady region stays quiet
+    # deterministic across reruns
+    again = rcf_anomalies(
+        df, ["k"], "v", shingle_size=4, order_key="t", score_threshold=0.55
+    ).collect()
+    assert sorted((r["t"], round(r["grade"], 12)) for r in out) == sorted(
+        (r["t"], round(r["grade"], 12)) for r in again
+    )
+    # shingle_size > 1 without an ordering column must be rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order_key"):
+        rcf_anomalies(df, ["k"], "v", shingle_size=4)

@@ -25,7 +25,7 @@ def test_rcf_max_groups_cap(spark):
     # every row of the other 4 passes through with grade null
     rows = [(f"g{g}", float(v)) for g in range(6) for v in [1, 2, 3, 1000]]
     df = spark.createDataFrame(rows, "k string, v double")
-    out = rcf_anomalies(df, ["k"], "v", quantile=0.75, max_groups=2).collect()
+    out = rcf_anomalies(df, ["k"], "v", max_groups=2).collect()
     scored_groups = {r["k"] for r in out if r["grade"] is not None}
     passthrough_groups = {r["k"] for r in out if r["grade"] is None}
     assert len(scored_groups) == 2
@@ -35,7 +35,7 @@ def test_rcf_max_groups_cap(spark):
     n_pass = sum(1 for r in out if r["grade"] is None)
     assert n_pass == 4 * 4
     # under the cap, everything is scored (no passthrough rows)
-    uncapped = rcf_anomalies(df, ["k"], "v", quantile=0.75, max_groups=100).collect()
+    uncapped = rcf_anomalies(df, ["k"], "v", max_groups=100).collect()
     assert all(r["grade"] is not None for r in uncapped)
 
 
