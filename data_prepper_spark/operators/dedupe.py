@@ -119,6 +119,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     verify_threshold: float | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b) via banded minhash LSH.
 
@@ -148,13 +149,47 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
-    pairs = (
-        banded.alias("l")
-        .join(banded.alias("r"), ["band", "bh"])
-        .where(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    if max_bucket_size is None:
+        pairs = (
+            banded.alias("l")
+            .join(banded.alias("r"), ["band", "bh"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        # giant-cluster guard: a bucket of m near-identical docs otherwise
+        # emits m(m-1)/2 pairs — at 100 TB one 10^6-copy boilerplate file
+        # would produce 5*10^11 rows from a single bucket. Oversized
+        # buckets instead emit a STAR to the bucket's min-id
+        # representative (m-1 pairs, graph diameter 2, so
+        # connected_components still converges in its usual 2-3 rounds):
+        # bucket connectivity — hence the clustering — is preserved
+        # exactly, while pair-level enumeration inside those buckets is
+        # intentionally incomplete (use the cap when pairs feed clustering
+        # / keep-set selection, not exhaustive pair listing). One shuffle
+        # on (band, bh) — the same key the join uses — computes bucket
+        # size and the representative together.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bh")
+        ranked = banded.select(
+            "id", "band", "bh",
+            F.count(F.lit(1)).over(w).alias("__sz"),
+            F.min("id").over(w).alias("__rep"),
+        )
+        small = ranked.where(F.col("__sz") <= max_bucket_size).select("id", "band", "bh")
+        full_pairs = (
+            small.alias("l")
+            .join(small.alias("r"), ["band", "bh"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        )
+        star_pairs = (
+            ranked.where((F.col("__sz") > max_bucket_size) & (F.col("id") != F.col("__rep")))
+            .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        pairs = full_pairs.unionByName(star_pairs).distinct()
     if verify_threshold is None:
         return pairs
     return jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= verify_threshold)

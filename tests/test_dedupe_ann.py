@@ -208,3 +208,39 @@ def test_connected_components_iteration_cap_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedupe.connected_components(pairs, max_iterations=2)
+
+
+def test_minhash_bucket_cap_bounds_giant_cluster(spark):
+    """Giant-cluster guard: a 2000-copy duplicate cluster must emit O(m)
+    star pairs (to the bucket's min-id representative, diameter 2) instead
+    of O(m^2), while connected_components over the capped pairs still
+    recovers the identical clustering."""
+    m = 2000
+    dup = [(i, "the same boilerplate license header repeated verbatim") for i in range(m)]
+    distinct = [
+        (10_000 + i, " ".join(f"w{i}x{j}" for j in range(12)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(dup + distinct, "doc_id long, text string")
+    capped = dedupe.minhash_lsh_pairs(
+        df, "text", "doc_id", num_perm=16, bands=4, shingle_n=2, max_bucket_size=50
+    )
+    n_capped = capped.count()
+    # star emission: <= bands * (m - 1) + small-bucket noise, vs ~2M uncapped
+    assert n_capped <= 4 * (m - 1) + 100, n_capped
+    comps = dedupe.connected_components(capped, ids=df.select("doc_id"))
+    sizes = sorted(
+        r["n"] for r in comps.groupBy("component").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # one m-sized cluster, every distinct doc alone
+    assert sizes[-1] == m and sizes[:-1] == [1] * 20
+    # small buckets keep FULL pair enumeration under the cap: a 3-dup
+    # cluster still emits all 3 pairs
+    tri = [(i, "tiny duplicate snippet body") for i in range(3)] + [
+        (99, "completely different text payload here")
+    ]
+    tdf = spark.createDataFrame(tri, "doc_id long, text string")
+    tp = dedupe.minhash_lsh_pairs(
+        tdf, "text", "doc_id", num_perm=16, bands=4, shingle_n=2, max_bucket_size=50
+    )
+    assert {(r.id_a, r.id_b) for r in tp.collect()} == {(0, 1), (0, 2), (1, 2)}
