@@ -106,6 +106,45 @@ def main() -> None:
     corpus_build_sec = time.time() - t0
     timings["ft_corpus_build"] = round(corpus_build_sec, 3)
 
+    # ---- layered (NRT) query parity at corpus scale: build on ~7/8 of the
+    # corpus files, layered-add the rest (remerge=False), and compare warm
+    # batched query latency against the fully-merged index of the SAME
+    # docs — evidence that per-segment cursors + tf-only bounds keep
+    # layered latency ~= merged latency instead of forcing exhaustive
+    from data_prepper_spark.index.build import add_to_index
+
+    files = sorted(f for f in os.listdir(corpus_src) if f.endswith(".parquet"))
+    base_dir, add_dir = ".bench_cache/corpus_base", ".bench_cache/corpus_add"
+    lay_out = ".bench_cache/corpus_index_layered"
+    for d in (base_dir, add_dir, lay_out):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(base_dir)
+    os.makedirs(add_dir)
+    cut = max(1, len(files) * 7 // 8)
+    for i, f in enumerate(files):
+        os.symlink(
+            os.path.abspath(os.path.join(corpus_src, f)),
+            os.path.join(base_dir if i < cut else add_dir, f),
+        )
+    build_index(spark, base_dir, lay_out, n_shards=64, units=1, shard_groups=1)
+    t0 = time.time()
+    add_to_index(spark, add_dir, lay_out, n_shards=64, units=1, remerge=False)
+    timings["ft_layered_add"] = round(time.time() - t0, 3)
+
+    qmap = {f"q{i}": q for i, q in enumerate(WAND_QUERIES)}
+    batch_ms: dict[str, float] = {}
+    for tag, idx_dir in (("merged", corpus_out), ("layered", lay_out)):
+        eng = IndexQueryEngine(spark, idx_dir)
+        eng.topk_batch(qmap, 10).collect()  # warm
+        best = float("inf")
+        for _ in range(3):  # best-of-3 absorbs host-noise spikes
+            t0 = time.time()
+            eng.topk_batch(qmap, 10).collect()
+            best = min(best, time.time() - t0)
+        batch_ms[tag] = round(best * 1000 / len(WAND_QUERIES), 1)
+        timings[f"ft_wand_batch_{tag}"] = round(best, 3)
+        eng.close()
+
     # ---- warm-path WAND query latency over the built index
     engine = IndexQueryEngine(spark, out)
     lat: list[float] = []
@@ -120,7 +159,6 @@ def main() -> None:
     timings["ft_wand_query_avg"] = round(sum(warm) / len(warm), 3)
 
     # batched path: all queries in ONE job (search-tier request batching)
-    qmap = {f"q{i}": q for i, q in enumerate(WAND_QUERIES)}
     engine.topk_batch(qmap, 10).collect()  # warm
     t0 = time.time()
     engine.topk_batch(qmap, 10).collect()
@@ -152,6 +190,8 @@ def main() -> None:
                 "query_p50_ms": round(p50 * 1000, 1),
                 "query_p95_ms": round(p95 * 1000, 1),
                 "query_batched_ms_per_query": batch_per_query_ms,
+                "query_batched_ms_per_query_merged_corpus": batch_ms["merged"],
+                "query_batched_ms_per_query_layered_corpus": batch_ms["layered"],
             }
         )
     )
