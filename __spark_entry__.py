@@ -566,6 +566,19 @@ def q_phrase_search(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id")
 
 
+def q_phrase_sloppy(spark, sf_dir):
+    """Ordered sloppy phrase matching (Lucene match_phrase slop analog,
+    ordered subset): per-doc occurrence counts of the phrase with up to 2
+    intervening tokens allowed between terms (query/phrase.py greedy
+    minimal-chain filter, pure Catalyst)."""
+    from data_prepper_spark.query.phrase import phrase_match_adhoc
+
+    out = phrase_match_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", PHRASE, slop=2
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_phrase_prox_topk(spark, sf_dir):
     """Proximity-SCORED phrase top-k (Lucene PhraseQuery scoring): the
     phrase is a pseudo-term with freq = exact-occurrence count and idf =
@@ -676,6 +689,33 @@ bs as (select id, {bit_sums} from w group by id),
 sig as (select id, cast({sig_expr} as bigint) as simhash from bs)"""
 
 
+def _phrase_sloppy_oracle(toks: str, phrase: str, slop: int) -> str:
+    """DuckDB twin of the ordered-sloppy greedy minimal-chain matcher:
+    q_j = min position of term_j strictly after q_{j-1}; an anchor matches
+    iff the chain's width <= (n-1) + slop."""
+    from data_prepper_spark.analyzer import tokenize_py
+
+    terms = tokenize_py(phrase)
+    uniq = sorted(set(terms))
+    idx = {t: i for i, t in enumerate(uniq)}
+    pos_cols = ", ".join(
+        f"list_filter(range(len(toks)), i -> toks[i+1] = '{t}') as pos_{i}"
+        for i, t in enumerate(uniq)
+    )
+    chain = "a"
+    for t in terms[1:]:
+        chain = f"list_min(list_filter(pos_{idx[t]}, x -> x > {chain}))"
+    return f"""
+        with tk as (select doc_id, {toks} as toks from documents),
+        p as (select doc_id, {pos_cols} from tk),
+        m as (select doc_id,
+                cast(len(list_filter(pos_{idx[terms[0]]},
+                     a -> coalesce({chain} - a <= {len(terms) - 1 + slop}, false))) as int)
+                  as n_matches
+              from p)
+        select doc_id, n_matches from m where n_matches > 0"""
+
+
 def _phrase_prox_oracle(toks: str, phrase: str, k: int = 10) -> str:
     """DuckDB twin of query/phrase.py phrase_topk_adhoc (Lucene
     PhraseQuery scoring: pf-frequency BM25 with summed per-position
@@ -775,6 +815,7 @@ def _textops_oracles() -> dict[str, str]:
             from sig a join sig b on a.id < b.id
             where bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "phrase_prox_topk": _phrase_prox_oracle(toks, PHRASE),
+        "phrase_sloppy": _phrase_sloppy_oracle(toks, PHRASE, 2),
         "phrase_search": f"""
             with tk as (select doc_id, {toks} as toks from documents),
             m as (select doc_id,
@@ -1360,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "phrase_search": q_phrase_search,
         "phrase_prox_topk": q_phrase_prox_topk,
+        "phrase_sloppy": q_phrase_sloppy,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint,

@@ -78,8 +78,44 @@ def _adjacency_filter(pos_cols: list[Column]) -> Column:
     return F.filter(pos_cols[0], ok)
 
 
+def _sloppy_filter(pos_cols: list[Column], slop: int) -> Column:
+    """Anchors p in pos_cols[0] starting an IN-ORDER match of all terms
+    whose total width exceeds the exact phrase length by at most ``slop``
+    (the ordered subset of Lucene's match_phrase slop — transposed-term
+    matches, which Lucene charges 2 slop each, are not matched; the
+    ordered semantics are what log/code search users almost always mean).
+
+    Per anchor, a greedy minimal chain: q_j = min{x in pos_j : x > q_{j-1}}.
+    Greedy minimizes the final position, so "greedy chain fits the width
+    budget" is exactly "some in-order chain fits" — and with slop=0 it
+    degenerates to exact adjacency. Nested higher-order functions only
+    (min-of-filter per step); null chains (a term exhausted) drop out of
+    the filter predicate naturally."""
+    n = len(pos_cols)
+
+    # NOTE: the inner lambda must be built by a single-parameter closure —
+    # a `lambda e, lo=cur:` default-arg capture makes PySpark see TWO
+    # parameters and silently bind the second to the array INDEX (the
+    # (element, index) HOF form), turning the bound into `e > index`
+    def _next_after(pc: Column, lo: Column) -> Column:
+        return F.array_min(F.filter(pc, lambda e: e > lo))
+
+    def ok(p: Column) -> Column:
+        cur = p
+        for j in range(1, n):
+            cur = _next_after(pos_cols[j], cur)
+        return (cur - p) <= F.lit(n - 1 + slop)
+
+    return F.filter(pos_cols[0], ok)
+
+
+def _match_filter(pos_cols: list[Column], slop: int) -> Column:
+    return _adjacency_filter(pos_cols) if slop == 0 else _sloppy_filter(pos_cols, slop)
+
+
 def phrase_docs(
-    spark: SparkSession, index_dir: str, phrase: str, n_shards: int = 64
+    spark: SparkSession, index_dir: str, phrase: str, n_shards: int = 64,
+    slop: int = 0,
 ) -> DataFrame:
     """(doc_id, n_matches) for documents containing the exact phrase,
     from the positions table.
@@ -119,7 +155,7 @@ def phrase_docs(
         )
         cur = tj if cur is None else cur.join(tj, ["shard", "doc_id"])
     pos_cols = [F.col(f"pos_{j}") for j in range(len(terms))]
-    matched = cur.withColumn("__m", _adjacency_filter(pos_cols)).where(F.size("__m") > 0)
+    matched = cur.withColumn("__m", _match_filter(pos_cols, slop)).where(F.size("__m") > 0)
     return matched.select("doc_id", F.size("__m").cast("int").alias("n_matches"))
 
 
@@ -134,6 +170,7 @@ def phrase_topk(
     phrase: str,
     k: int = 10,
     proximity: bool = False,
+    slop: int = 0,
 ) -> DataFrame:
     """(rank, doc_id, score, n_matches): documents containing the EXACT
     phrase, ranked by relevance.
@@ -165,7 +202,7 @@ def phrase_topk(
     tstats = query_term_stats(spark, io, terms, n_docs)
     if not tstats:
         return spark.createDataFrame([], empty)
-    matches = phrase_docs(spark, index_dir, phrase)
+    matches = phrase_docs(spark, index_dir, phrase, slop=slop)
     from pyspark.sql.window import Window
 
     w = F.row_number().over(
@@ -207,7 +244,7 @@ def phrase_topk(
 
 
 def phrase_match_adhoc(
-    docs: DataFrame, content_col: str, id_col: str, phrase: str
+    docs: DataFrame, content_col: str, id_col: str, phrase: str, slop: int = 0
 ) -> DataFrame:
     """(id, n_matches) straight over the corpus — the index-free/oracle
     path, pure Catalyst.
@@ -239,15 +276,8 @@ def phrase_match_adhoc(
         ]
     )
     pos_for = {t: F.col(f"pos_{i}") for i, t in enumerate(uniq)}
-    anchor = pos_for[terms[0]]
-
-    def ok(p: Column) -> Column:
-        c = F.lit(True)
-        for j, t in enumerate(terms[1:], start=1):
-            c = c & F.array_contains(pos_for[t], p + j)
-        return c
-
-    matches = F.size(F.filter(anchor, ok))
+    pos_cols = [pos_for[t] for t in terms]
+    matches = F.size(_match_filter(pos_cols, slop))
     return (
         per_doc.select("id", matches.cast("int").alias("n_matches"))
         .where(F.col("n_matches") > 0)

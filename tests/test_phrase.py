@@ -106,3 +106,47 @@ def test_phrase_topk_ranked(spark, corpus_dir, pos_index, index_dir):
         assert round(r["score"], 6) == full[r["doc_id"]]
     scores = [(r["rank"], -r["score"], r["doc_id"]) for r in got]
     assert scores == sorted(scores)
+
+
+def test_sloppy_phrase_semantics_and_parity(spark, corpus_dir, pos_index):
+    """Ordered sloppy matching: gaps up to slop allowed, transpositions
+    rejected, slop=0 == exact adjacency; indexed and adhoc paths agree."""
+    from data_prepper_spark.query.phrase import phrase_docs, phrase_match_adhoc
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha x beta"),
+        (3, "alpha x x x beta"),
+        (4, "beta alpha"),
+        (5, "alpha x beta y alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def got(slop):
+        return {
+            r["id"]: r["n_matches"]
+            for r in phrase_match_adhoc(df, "text", "doc_id", "alpha beta", slop=slop).collect()
+        }
+
+    assert got(0) == {1: 1, 5: 1}
+    assert got(1) == {1: 1, 2: 1, 5: 2}
+    assert got(3) == {1: 1, 2: 1, 3: 1, 5: 2}
+    # indexed path parity on the real corpus, slop > 0
+    from data_prepper_spark.index.build import doc_id_col
+
+    docs = spark.read.parquet(corpus_dir).withColumn("did", doc_id_col())
+    for phrase, slop in (("return self", 2), ("def return", 1)):
+        adhoc = {
+            r["id"]: r["n_matches"]
+            for r in phrase_match_adhoc(docs, "content", "did", phrase, slop=slop).collect()
+        }
+        indexed = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_docs(spark, pos_index, phrase, n_shards=8, slop=slop).collect()
+        }
+        assert adhoc == indexed, (phrase, slop)
+        # slop widens (or keeps) the exact-match doc set
+        exact = set(
+            r["doc_id"] for r in phrase_docs(spark, pos_index, phrase, n_shards=8).collect()
+        )
+        assert exact <= set(indexed), (phrase, slop)
