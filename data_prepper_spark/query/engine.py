@@ -34,10 +34,24 @@ class IndexQueryEngine:
         persist_blocks: bool = True,
         shard_partitions: int = 8,
         exhaustive_threshold: int | None = None,
+        result_cache_size: int = 0,
     ):
         self.spark = spark
         self.io = TableIO(index_dir)
         self.shard_partitions = shard_partitions
+        # Opt-in result cache keyed by (query, k): a search tier's hottest
+        # queries repeat, and the engine instance is pinned to one index
+        # snapshot (generation resolved at construction), so cached rows
+        # can never go stale within the instance. A hit skips the whole
+        # distributed kernel; the trade is that a MISS materializes
+        # inside topk (the caller's own .collect() then reads a
+        # LocalTableScan, ~ms). Off by default to preserve the fully-lazy
+        # one-job contract (NOTES.md documents why eager driver-side
+        # shortcuts are usually a loss here — this one only pays on hits).
+        from collections import OrderedDict
+
+        self._result_cache_size = result_cache_size
+        self._result_cache: OrderedDict[tuple[str, int], list] = OrderedDict()
         from .common import load_stats_full
         from .wand import EXHAUSTIVE_THRESHOLD
 
@@ -85,9 +99,25 @@ class IndexQueryEngine:
                     self._dict_cache[t] = None
         return {t: s for t in terms if (s := self._dict_cache.get(t)) is not None}
 
+    _TOPK_SCHEMA = "rank int, doc_id long, score double"
+
     def topk(self, query_text: str, k: int = 10) -> DataFrame:
         """(rank int, doc_id long, score double) — block-max WAND per shard,
         TakeOrderedAndProject merge. One Spark job on the warm path."""
+        if self._result_cache_size:
+            key = (query_text, k)
+            hit = self._result_cache.get(key)
+            if hit is not None:
+                self._result_cache.move_to_end(key)
+                return self.spark.createDataFrame(hit, self._TOPK_SCHEMA)
+            rows = self._topk_df(query_text, k).collect()
+            self._result_cache[key] = rows
+            if len(self._result_cache) > self._result_cache_size:
+                self._result_cache.popitem(last=False)
+            return self.spark.createDataFrame(rows, self._TOPK_SCHEMA)
+        return self._topk_df(query_text, k)
+
+    def _topk_df(self, query_text: str, k: int) -> DataFrame:
         terms = sorted(set(tokenize_py(query_text)))
         tstats = self._term_stats(terms)
         empty = "rank int, doc_id long, score double"

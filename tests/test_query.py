@@ -126,3 +126,27 @@ def test_bm25_topk_filtered_indexed(spark, index_dir, corpus_dir, corpus_docs):
         if d in allowed
     ][:10]
     assert [(r["doc_id"], round(r["score"], 6)) for r in got] == want
+
+
+def test_engine_result_cache(spark, index_dir):
+    """Opt-in (query, k) result cache: hits return identical rows without
+    re-running the kernel, distinct k are distinct entries, and the LRU
+    stays bounded. The engine is snapshot-pinned, so entries cannot go
+    stale within an instance."""
+    from data_prepper_spark.query.engine import IndexQueryEngine
+
+    eng = IndexQueryEngine(spark, index_dir, persist_blocks=False, result_cache_size=2)
+    cold = eng.topk("def return value", 10).collect()
+    assert eng.topk("def return value", 10).collect() == cold  # hit
+    assert len(eng._result_cache) == 1
+    k5 = eng.topk("def return value", 5).collect()  # distinct k = distinct entry
+    assert [tuple(r) for r in k5] == [tuple(r) for r in cold[:5]]
+    assert len(eng._result_cache) == 2
+    eng.topk("class import", 10).collect()  # evicts the LRU entry
+    assert len(eng._result_cache) == 2
+    # uncached engine agrees (cache changes latency, never results)
+    plain = IndexQueryEngine(spark, index_dir, persist_blocks=False)
+    assert plain.topk("def return value", 10).collect() == cold
+    # empty-result queries cache cleanly too
+    assert eng.topk("qqqqxyzw", 3).collect() == []
+    assert eng.topk("qqqqxyzw", 3).collect() == []
