@@ -1093,6 +1093,24 @@ def q_anomaly_rcf(spark, sf_dir):
     return out.select("event_id", "event_type", F.round("grade", 4).alias("grade"))
 
 
+def q_kv_recursive(spark, sf_dir):
+    """Recursive bracket-tree key_value (reference recursive:true mode;
+    operators/parse.py key_value_recursive pandas UDF). The oracle
+    CONSTRUCTS the expected nested JSON from the same columns, so the
+    round-trip through the recursive parser is fully value-checked."""
+    from data_prepper_spark.operators.parse import key_value_recursive
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("user=[id="), F.col("user_id").cast("string"),
+            F.lit("&type="), F.col("event_type"),
+            F.lit("]&seq="), F.col("event_id").cast("string"),
+        ).alias("line"),
+    )
+    return key_value_recursive(ev, "line", "parsed").select("event_id", "parsed")
+
+
 def q_csv_roundtrip(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "line",
@@ -1302,6 +1320,11 @@ def _extra_oracles() -> dict[str, str]:
                         when 2 then 'Linux' else 'Other' end as os,
                    'Other' as device
             from events""",
+        "kv_recursive": """
+            select event_id,
+                   '{"user": {"id": "' || user_id || '", "type": "' || event_type
+                   || '"}, "seq": "' || event_id || '"}' as parsed
+            from events""",
         "anomaly_zscore": """
             with s as (select event_type, avg(value) as mu,
                               stddev_pop(value) as sigma
@@ -1424,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_agent_parse": q_user_agent_parse,
         "anomaly_zscore": q_anomaly_zscore,
         "anomaly_rcf": q_anomaly_rcf,
+        "kv_recursive": q_kv_recursive,
         "csv_roundtrip": q_csv_roundtrip,
         "mutate_event_ops": q_mutate_event_ops,
         "pipeline_yaml": q_pipeline_yaml,

@@ -326,6 +326,110 @@ def key_value(
     return df.withColumn(destination, out)
 
 
+_BRACKETS = {"[": "]", "(": ")", "<": ">"}
+
+
+def _kv_recurse(text: str, field_split: str, value_split: str, non_match_value) -> dict:
+    """Python rendition of the reference's recursive bracket-tree parser
+    (KeyValueProcessor.java:286-354 `recurse`): split into pairs at
+    TOP-LEVEL field-delimiter characters (delimiters inside [], (), <>
+    belong to the nested value), then per pair take the key before the
+    first top-level kv delimiter; a fully-bracketed value recurses into a
+    nested object, otherwise it is a scalar string."""
+    stack: list[str] = []
+    pairs: list[str] = []
+    start = 0
+    for i, ch in enumerate(text):
+        if ch in _BRACKETS:
+            stack.append(ch)
+        elif stack and ch == _BRACKETS[stack[-1]]:
+            stack.pop()
+        elif not stack and ch == field_split:
+            pairs.append(text[start:i])
+            start = i + 1
+    pairs.append(text[start:])
+    out: dict = {}
+    for pair in pairs:
+        stack.clear()
+        key = None
+        for i, ch in enumerate(pair):
+            if ch in _BRACKETS:
+                stack.append(ch)
+            elif stack and ch == _BRACKETS[stack[-1]]:
+                stack.pop()
+            elif not stack and ch == value_split:
+                key = pair[:i].rstrip()
+                vs = i + 1
+                while vs < len(pair) and pair[vs] == " ":
+                    vs += 1
+                break
+        if key is None or key == "":
+            if pair:
+                out[pair] = non_match_value
+            continue
+        value = pair[vs:]
+        if value and value[0] in _BRACKETS and value[-1] == _BRACKETS[value[0]]:
+            out[key] = _kv_recurse(
+                value[1:-1].lstrip(), field_split, value_split, non_match_value
+            )
+        else:
+            out[key] = value.lstrip()
+    return out
+
+
+def key_value_recursive(
+    df: DataFrame,
+    source: str,
+    destination: str = "parsed_message",
+    field_split_characters: str = "&",
+    value_split_characters: str = "=",
+    non_match_value: str | None = None,
+    when: str | None = None,
+) -> DataFrame:
+    """Recursive bracket-tree key_value (the reference's ``recursive:
+    true`` mode, KeyValueProcessor.java:240-247, 286-354): nested groups
+    inside [], (), <> parse into nested objects. The nesting depth is
+    data-dependent, so the result cannot be a static Spark map type — the
+    destination column is the nested structure as a canonical JSON string
+    (sorted keys OFF: insertion order preserved like the reference's
+    ObjectNode), queryable downstream via ``get_json_object`` /
+    ``from_json``.
+
+    A recursive grammar is genuinely beyond Catalyst expressions; this is
+    the documented Arrow-batched pandas-UDF case (one Python call per
+    batch, not per row — the reference's own recursion, vectorized over
+    the column). Like the reference, recursive mode restricts field/value
+    delimiters to single non-bracket characters."""
+    import json as _json
+
+    # module-level pandas import: pyspark resolves the UDF's string type
+    # hints ('pd.Series', stringified by `from __future__ import
+    # annotations`) against the function's MODULE globals
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    globals().setdefault("pd", pd)
+    if len(field_split_characters) != 1 or len(value_split_characters) != 1:
+        raise ValueError(
+            "recursive key_value is limited to single-character delimiters "
+            "(KeyValueProcessor.java:91,126)"
+        )
+    if field_split_characters in "[]()<>" or value_split_characters in "[]()<>":
+        raise ValueError("recursive key_value delimiters cannot be brackets")
+    fs, vs, nmv = field_split_characters, value_split_characters, non_match_value
+
+    @pandas_udf("string")
+    def parse(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda s: None if s is None else _json.dumps(_kv_recurse(s, fs, vs, nmv))
+        )
+
+    out = parse(F.col(source))
+    if when:
+        out = F.when(F.expr(when), out)
+    return df.withColumn(destination, out)
+
+
 # ----------------------------------------------------------------- csv ----
 def csv_parse(
     df: DataFrame,

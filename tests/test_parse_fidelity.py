@@ -229,3 +229,46 @@ def test_user_agent_extended_families(spark):
         ("Chrome", "Chrome OS"),
         ("Chrome", "Android"),
     ]
+
+
+def test_kv_recursive_bracket_tree(spark):
+    """Recursive mode (KeyValueProcessor.java recurse, round-3): nested
+    bracket groups become nested objects; top-level delimiters inside
+    brackets do not split; all three bracket families recurse."""
+    import json
+
+    from data_prepper_spark.operators.parse import key_value_recursive
+
+    def kv(s, **kw):
+        df = spark.createDataFrame([(s,)], "kv string")
+        out = key_value_recursive(df, source="kv", destination="m", **kw).collect()[0]["m"]
+        return None if out is None else json.loads(out)
+
+    assert kv("item1=[sub1=v1&sub2=v2]&item2=v3") == {
+        "item1": {"sub1": "v1", "sub2": "v2"},
+        "item2": "v3",
+    }
+    # deeper nesting + mixed bracket families
+    assert kv("a=[b=(c=<d=x>)&e=y]") == {"a": {"b": {"c": {"d": "x"}}, "e": "y"}}
+    # delimiters inside brackets don't split the outer level
+    assert kv("a=[x=1&y=2]") == {"a": {"x": "1", "y": "2"}}
+    # non-match pair takes non_match_value; whitespace shaping matches the
+    # reference (key stripTrailing, value leading spaces skipped)
+    assert kv("orphan&k = v", field_split_characters="&", non_match_value="N/A") == {
+        "orphan": "N/A",
+        "k": "v",
+    }
+    # unbalanced bracket: the open stack never empties, so later
+    # delimiters are not top-level and the rest stays one scalar value
+    # (matches the reference's stack behavior)
+    assert kv("a=[b=1&c=2") == {"a": "[b=1&c=2"}
+    # nulls propagate
+    df = spark.createDataFrame([(None,)], "kv string")
+    out = key_value_recursive(df, source="kv", destination="m").collect()[0]["m"]
+    assert out is None
+    # recursive mode rejects multi-char / bracket delimiters like the reference
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        key_value_recursive(spark.createDataFrame([("x",)], "kv string"), "kv",
+                            field_split_characters="&&")
