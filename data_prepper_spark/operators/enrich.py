@@ -51,11 +51,22 @@ def obfuscate(
 
 
 # (family regex, browser label) — first match wins, like uap-core ordering
+# (curated from the public uap-core pattern set: dual-identity browsers —
+# Edge/Opera/Samsung/Yandex/UC/... all also advertise "Chrome/" — must
+# precede Chrome, and Chrome precedes Safari's "Version/" rule)
 _UA_BROWSERS = [
+    (r"DuckDuckGo/(\d+[\.\d]*)", "DuckDuckGo Mobile"),
+    (r"YaBrowser/(\d+[\.\d]*)", "Yandex Browser"),
+    (r"Vivaldi/(\d+[\.\d]*)", "Vivaldi"),
+    (r"Brave Chrome/(\d+[\.\d]*)", "Brave"),
+    (r"UCBrowser/(\d+[\.\d]*)", "UC Browser"),
+    (r"QQBrowser/(\d+[\.\d]*)", "QQ Browser"),
+    (r"Opera Mini/(\d+[\.\d]*)", "Opera Mini"),
     (r"OPR/(\d+[\.\d]*)", "Opera"),
     (r"Opera[/ ](\d+[\.\d]*)", "Opera"),
     (r"SamsungBrowser/(\d+[\.\d]*)", "Samsung Internet"),
     (r"Edg(?:e|A|iOS)?/(\d+[\.\d]*)", "Edge"),
+    (r"Electron/(\d+[\.\d]*)", "Electron"),
     (r"Firefox/(\d+[\.\d]*)", "Firefox"),
     (r"FxiOS/(\d+[\.\d]*)", "Firefox iOS"),
     (r"CriOS/(\d+[\.\d]*)", "Chrome Mobile iOS"),
@@ -64,31 +75,64 @@ _UA_BROWSERS = [
     (r"Version/(\d+[\.\d]*).*Safari", "Safari"),
     (r"MSIE (\d+[\.\d]*)", "IE"),
     (r"Trident/.*rv:(\d+[\.\d]*)", "IE"),
+    # bots / crawlers before generic clients
+    (r"Googlebot/(\d+[\.\d]*)", "Googlebot"),
+    (r"bingbot/(\d+[\.\d]*)", "BingBot"),
+    (r"YandexBot/(\d+[\.\d]*)", "YandexBot"),
+    (r"Slackbot(?:-LinkExpanding)? (\d+[\.\d]*)", "Slackbot"),
+    (r"Discordbot/(\d+[\.\d]*)", "Discordbot"),
+    (r"Twitterbot/(\d+[\.\d]*)", "Twitterbot"),
+    (r"facebookexternalhit/(\d+[\.\d]*)", "FacebookBot"),
+    (r"AhrefsBot/(\d+[\.\d]*)", "AhrefsBot"),
+    (r"SemrushBot/(\d+[\.\d]*)", "SemrushBot"),
+    # programmatic http clients
     (r"curl/(\d+[\.\d]*)", "curl"),
     (r"[Ww]get/(\d+[\.\d]*)", "Wget"),
     (r"python-requests/(\d+[\.\d]*)", "Python Requests"),
-    (r"Googlebot/(\d+[\.\d]*)", "Googlebot"),
-    (r"bingbot/(\d+[\.\d]*)", "BingBot"),
+    (r"Python-urllib/(\d+[\.\d]*)", "Python-urllib"),
+    (r"aiohttp/(\d+[\.\d]*)", "aiohttp"),
+    (r"okhttp/(\d+[\.\d]*)", "okhttp"),
+    (r"Go-http-client/(\d+[\.\d]*)", "Go-http-client"),
+    (r"Apache-HttpClient/(\d+[\.\d]*)", "Apache-HttpClient"),
+    (r"Java/(\d+[\.\d_]*)", "Java"),
+    (r"axios/(\d+[\.\d]*)", "axios"),
+    (r"node-fetch/(\d+[\.\d]*)", "node-fetch"),
+    (r"PostmanRuntime/(\d+[\.\d]*)", "PostmanRuntime"),
+    (r"insomnia/(\d+[\.\d]*)", "Insomnia"),
 ]
+# (family regex, label, version-capture regex or None)
 _UA_OS = [
-    (r"Windows Phone", "Windows Phone"),
-    (r"Windows NT [\d\.]+", "Windows"),
-    (r"CrOS", "Chrome OS"),
-    (r"Android", "Android"),
+    (r"Windows Phone", "Windows Phone", r"Windows Phone (?:OS )?(\d+[\.\d]*)"),
+    (r"Windows NT [\d\.]+", "Windows", r"Windows NT (\d+\.\d+)"),
+    (r"CrOS", "Chrome OS", r"CrOS \S+ (\d+[\.\d]*)"),
+    (r"Android", "Android", r"Android (\d+[\.\d]*)"),
     # iOS before Mac OS X: iPhone/iPad UAs end with "... like Mac OS X"
-    (r"iPhone OS|iPad; CPU OS|iOS", "iOS"),
-    (r"Mac OS X", "Mac OS X"),
-    (r"FreeBSD", "FreeBSD"),
-    (r"Ubuntu", "Ubuntu"),
-    (r"Linux", "Linux"),
+    (r"iPhone OS|iPad; CPU OS|iOS", "iOS", r"(?:iPhone )?OS (\d+[_\.\d]*)"),
+    (r"Mac OS X", "Mac OS X", r"Mac OS X (\d+[_\.\d]*)"),
+    (r"FreeBSD", "FreeBSD", None),
+    (r"Ubuntu", "Ubuntu", None),
+    (r"Fedora", "Fedora", None),
+    (r"Debian", "Debian", None),
+    (r"Linux", "Linux", None),
 ]
+# NT kernel version -> marketing name version (uap-core's replacement map)
+_WINDOWS_NT = {
+    "10.0": "10", "6.3": "8.1", "6.2": "8", "6.1": "7",
+    "6.0": "Vista", "5.2": "XP", "5.1": "XP",
+}
 
 
 def user_agent(
     df: DataFrame, source: str, target: str = "user_agent", when: str | None = None
 ) -> DataFrame:
-    """Parse ``source`` UA string into a struct(name, version, os, device,
-    original) column ``target`` — pure regexp_extract chain."""
+    """Parse ``source`` UA string into a struct(name, version, os,
+    os_version, device, original) column ``target`` — pure regexp_extract
+    chain (UserAgentProcessor.java:55,88-91; ruleset curated from the
+    public uap-core pattern set: browsers incl. dual-identity
+    Chrome-derivatives, crawlers, programmatic HTTP clients; OS families
+    with version extraction incl. the NT-kernel -> marketing-name map;
+    device families with brand detection). Not the full uap-core
+    database — rules beyond this curated set fall back to "Other"."""
     ua = F.col(source)
     name = F.lit("Other")
     version = F.lit("")
@@ -97,18 +141,39 @@ def user_agent(
         name = F.when(hit, F.lit(label)).otherwise(name)
         version = F.when(hit, F.regexp_extract(ua, pat, 1)).otherwise(version)
     os_ = F.lit("Other")
-    for pat, label in reversed(_UA_OS):
-        os_ = F.when(ua.rlike(pat), F.lit(label)).otherwise(os_)
+    osv = F.lit("")
+    for pat, label, vpat in reversed(_UA_OS):
+        hit = ua.rlike(pat)
+        os_ = F.when(hit, F.lit(label)).otherwise(os_)
+        if vpat is None:
+            v = F.lit("")
+        else:
+            v = F.regexp_replace(F.regexp_extract(ua, vpat, 1), "_", ".")
+            if label == "Windows":
+                nt = F.regexp_extract(ua, vpat, 1)
+                v = F.coalesce(
+                    *[F.when(nt == k, F.lit(m)) for k, m in _WINDOWS_NT.items()], nt
+                )
+        osv = F.when(hit, v).otherwise(osv)
     device = (
-        F.when(ua.rlike(r"iPhone"), "iPhone")
-        .when(ua.rlike(r"iPad"), "iPad")
-        .when(ua.rlike(r"Android"), "Android")
-        .otherwise("Other")
+        F.when(ua.rlike(r"iPhone"), F.lit("iPhone"))
+        .when(ua.rlike(r"iPad"), F.lit("iPad"))
+        .when(ua.rlike(r"SM-[A-Z0-9]+"), F.lit("Samsung"))
+        .when(ua.rlike(r"Pixel \d"), F.lit("Pixel"))
+        .when(ua.rlike(r"HUAWEI|HONOR"), F.lit("Huawei"))
+        .when(ua.rlike(r"Xiaomi|Redmi|MI \d"), F.lit("Xiaomi"))
+        .when(ua.rlike(r"OnePlus"), F.lit("OnePlus"))
+        .when(ua.rlike(r"Android"), F.lit("Android"))
+        .when(
+            ua.rlike(r"bot|Bot|crawler|spider|facebookexternalhit"), F.lit("Spider")
+        )
+        .otherwise(F.lit("Other"))
     )
     st = F.struct(
         name.alias("name"),
         version.alias("version"),
         os_.alias("os"),
+        osv.alias("os_version"),
         device.alias("device"),
         ua.alias("original"),
     )

@@ -142,3 +142,45 @@ def test_rcf_drift_series_shingled(spark):
 
     with _pytest.raises(ValueError, match="order_key"):
         rcf_anomalies(df, ["k"], "v", shingle_size=4)
+
+
+def test_user_agent_extended_ruleset(spark):
+    """Round-3 ruleset expansion: dual-identity Chrome derivatives resolve
+    to their real family, OS versions extract (incl. the NT-kernel ->
+    marketing-name map), bots and programmatic clients classify, and
+    device brands resolve."""
+    from data_prepper_spark.operators.enrich import user_agent
+
+    cases = {
+        "Mozilla/5.0 (Windows NT 10.0; Win64) Chrome/120.0 Safari/537 Edg/120.0.2210":
+            ("Edge", "Windows", "10", "Other"),
+        "Mozilla/5.0 (Windows NT 6.1) Chrome/109.0 Safari/537 OPR/95.0.4635":
+            ("Opera", "Windows", "7", "Other"),
+        "Mozilla/5.0 (Linux; Android 13; SM-S918B) Chrome/115.0 Mobile Safari/537 SamsungBrowser/21.0":
+            ("Samsung Internet", "Android", "13", "Samsung"),
+        "Mozilla/5.0 (Linux; Android 14; Pixel 8) Chrome/121.0 Mobile Safari/537":
+            ("Chrome", "Android", "14", "Pixel"),
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Chrome/120.0 YaBrowser/24.1 Safari/537":
+            ("Yandex Browser", "Mac OS X", "10.15.7", "Other"),
+        "Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)":
+            ("Googlebot", "Other", "", "Spider"),
+        "Slackbot-LinkExpanding 1.0 (+https://api.slack.com/robots)":
+            ("Slackbot", "Other", "", "Spider"),
+        "okhttp/4.12.0": ("okhttp", "Other", "", "Other"),
+        "Go-http-client/2.0": ("Go-http-client", "Other", "", "Other"),
+        "PostmanRuntime/7.36.0": ("PostmanRuntime", "Other", "", "Other"),
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) FxiOS/121.0 Mobile Safari/605":
+            ("Firefox iOS", "iOS", "17.1", "iPhone"),
+    }
+    df = spark.createDataFrame([(ua,) for ua in cases], "ua string")
+    got = {
+        r["user_agent"]["original"]: (
+            r["user_agent"]["name"],
+            r["user_agent"]["os"],
+            r["user_agent"]["os_version"],
+            r["user_agent"]["device"],
+        )
+        for r in user_agent(df, "ua").collect()
+    }
+    for ua, want in cases.items():
+        assert got[ua] == want, (ua, got[ua], want)
