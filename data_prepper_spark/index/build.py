@@ -635,7 +635,14 @@ def _merge_dictionary(
         .withColumn("term_hash", F.xxhash64("term"))
         .join(seg_ub, "term_hash", "left")
     )
-    old = io.read(spark, "dictionary")
+    if io.exists("dictionary"):
+        old = io.read(spark, "dictionary")
+    else:
+        # first-ever segment (layered streaming from an empty dir): merge
+        # against an empty dictionary
+        old = spark.createDataFrame(
+            [], "term string, df long, cf long, term_hash long, max_wtf double"
+        )
     merged = (
         old.alias("o")
         .join(new_dic.alias("n"), F.col("o.term") == F.col("n.term"), "full_outer")
@@ -799,7 +806,28 @@ def add_to_index(
     # ---- layered add (Lucene-NRT style): encode ONLY the new units' runs
     # as a fresh segment, and merge (not rebuild) the dictionary — the
     # whole add touches O(new docs) rows plus one dictionary-sized join.
-    latest = _ledger_latest(io, spark)  # re-read: stage A just appended
+    return _layered_segment(
+        spark, io, out_dir, [u for u, _ in unit_files], source_path,
+        n_shards, block_size, _mark,
+    )
+
+
+def _layered_segment(
+    spark: SparkSession,
+    io: TableIO,
+    out_dir: str,
+    unit_ids: list[int],
+    source_path: str,
+    n_shards: int,
+    block_size: int,
+    _mark,
+) -> BuildResult:
+    """Encode committed stage-A units as one searchable layered segment +
+    merged dictionary. Shared by add_to_index(remerge=False) and the
+    layered streaming sink (streaming/index_stream.py): the unit ids must
+    already have 'done' stage-A ledger rows. Idempotent per source_path
+    (see add_to_index docstring for the crash-window analysis)."""
+    latest = _ledger_latest(io, spark)
     lay_tag = f"layered:{source_path}"
     prior = [
         r for r in latest
@@ -827,7 +855,7 @@ def add_to_index(
     # A is committed), so this write is idempotent across crash-retries
     n_docs, avgdl = _write_corpus_stats(spark, io, layered=len(layered_done | {seg}))
     new_posts = spark.read.parquet(
-        *[io.path(f"postings/unit={u}") for u, _ in unit_files]
+        *[io.path(f"postings/unit={u}") for u in unit_ids]
     )
     blocks = blocks_from_postings(new_posts, avgdl, block_size)
     from pyspark.sql import Observation

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..index.build import _stage_a_unit
+from ..index.build import _layered_segment, _make_mark, _stage_a_unit
 from ..tableio import TableIO
 
 # keeps streaming unit ids disjoint from batch-build unit ids
@@ -35,6 +35,8 @@ def index_stream_writer(
     n_shards: int = 64,
     checkpoint_dir: str | None = None,
     unit_base: int = STREAM_UNIT_BASE,
+    layered: bool = False,
+    block_size: int = 128,
 ):
     """Returns a DataStreamWriter; caller picks the trigger and .start()s.
 
@@ -44,20 +46,34 @@ def index_stream_writer(
         w = index_stream_writer(stream, out, checkpoint_dir=ckpt)
         w.trigger(availableNow=True).start().awaitTermination()
         refresh_index(spark, out)
+
+    ``layered=True`` is the true NRT mode: each micro-batch additionally
+    writes its own layered block segment and merges the dictionary
+    (index/build.py _layered_segment — O(batch docs) work), so new docs
+    are SEARCHABLE as soon as their batch commits, with no refresh in the
+    loop. Query kernels run with avgdl-independent tf-only pruning bounds
+    while layered segments exist; ``refresh_index`` later compacts many
+    micro-batch segments into the canonical groups and restores the
+    tightest bounds — exactly Lucene's NRT-segments-then-background-merge
+    economics. Replayed batches (at-least-once delivery) are absorbed by
+    the same ledger idempotency the batch layered add uses: the segment
+    keyed by the batch's source tag is reused and overwritten
+    byte-identically, and the dictionary merge is guarded by its stage-D
+    ledger row.
     """
     io = TableIO(out_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        _stage_a_unit(
-            batch_df.sparkSession,
-            io,
-            unit_base + int(batch_id),
-            batch_df,
-            n_shards,
-            f"stream:batch={batch_id}",
-        )
+        spark = batch_df.sparkSession
+        unit = unit_base + int(batch_id)
+        tag = f"stream:batch={batch_id}"
+        _stage_a_unit(spark, io, unit, batch_df, n_shards, tag)
+        if layered:
+            _layered_segment(
+                spark, io, out_dir, [unit], tag, n_shards, block_size, _make_mark()
+            )
 
     w = stream_df.writeStream.foreachBatch(handle)
     if checkpoint_dir:

@@ -319,3 +319,52 @@ def test_layered_add_idempotent_and_merged_dictionary(spark, corpus_dir, tmp_pat
     ) == post_refresh
     assert spark.read.parquet(f"{idx}/corpus_stats").collect()[0]["layered"] == 0
     assert r.n_docs == first[2]
+
+
+def test_streaming_layered_nrt(spark, corpus_dir, tmp_path):
+    """True NRT streaming: every micro-batch writes its own layered
+    segment, so docs are searchable as soon as their batch commits (no
+    refresh in the loop), rank-identical to a clean batch build; a later
+    refresh compacts the micro-segments into the bit-identical canonical
+    index."""
+    from data_prepper_spark.streaming.index_stream import index_stream_writer
+
+    out = str(tmp_path / "idx_nrt")
+    ckpt = str(tmp_path / "ckpt_nrt")
+    schema = spark.read.parquet(corpus_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(corpus_dir)
+    )
+    q = (
+        index_stream_writer(stream, out, n_shards=8, checkpoint_dir=ckpt, layered=True)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    clean = str(tmp_path / "idx_clean_nrt")
+    rc = build_index(spark, corpus_dir, clean, n_shards=8, units=2, shard_groups=2)
+    # searchable NOW, before any refresh: rank identity vs the clean build
+    stats = spark.read.parquet(f"{out}/corpus_stats").collect()[0]
+    assert stats["layered"] >= 2  # one segment per non-empty micro-batch
+    assert (stats["n_docs"],) == (rc.n_docs,)
+    en = IndexQueryEngine(spark, out, persist_blocks=False)
+    ec = IndexQueryEngine(spark, clean, persist_blocks=False)
+    ep = IndexQueryEngine(spark, out, persist_blocks=False, exhaustive_threshold=0)
+    for qtext in ("def return value", "the", "class import"):
+        want = [(r.rank, r.doc_id, round(r.score, 9)) for r in ec.topk(qtext, 10).collect()]
+        assert [(r.rank, r.doc_id, round(r.score, 9)) for r in en.topk(qtext, 10).collect()] == want
+        # pointer kernel (tf bounds, per-segment cursors) agrees on ranks
+        got_p = [(r.rank, r.doc_id) for r in ep.topk(qtext, 10).collect()]
+        assert got_p == [(r_, d) for r_, d, _ in want], qtext
+    # compaction: bit-identical canonical blocks
+    refresh_index(spark, out, shard_groups=2)
+    bexpr = (
+        "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, "
+        "doc_gaps, tfs, dls, block_max_tf, block_max_wtf))"
+    )
+    assert _chk(spark, resolved_table_path(out, "posting_blocks"), bexpr) == _chk(
+        spark, resolved_table_path(clean, "posting_blocks"), bexpr
+    )
+    assert spark.read.parquet(f"{out}/corpus_stats").collect()[0]["layered"] == 0
