@@ -579,6 +579,18 @@ def q_phrase_sloppy(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id")
 
 
+def q_phrase_sloppy_topk(spark, sf_dir):
+    """Sloppy-SCORED phrase top-k (Lucene SloppyPhraseScorer weighting:
+    each match contributes 1/(1+excess gaps); query/phrase.py
+    phrase_topk_adhoc(slop=2); the indexed twin
+    phrase_topk(proximity=True, slop=2) is parity-tested in pytest)."""
+    from data_prepper_spark.query.phrase import phrase_topk_adhoc
+
+    return phrase_topk_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", PHRASE, k=10, slop=2
+    )
+
+
 def q_phrase_prox_topk(spark, sf_dir):
     """Proximity-SCORED phrase top-k (Lucene PhraseQuery scoring): the
     phrase is a pseudo-term with freq = exact-occurrence count and idf =
@@ -716,6 +728,51 @@ def _phrase_sloppy_oracle(toks: str, phrase: str, slop: int) -> str:
         select doc_id, n_matches from m where n_matches > 0"""
 
 
+def _phrase_sloppy_topk_oracle(toks: str, phrase: str, slop: int, k: int = 10) -> str:
+    """DuckDB twin of phrase_topk_adhoc(slop>0): Lucene sloppy weighting —
+    per anchor, greedy minimal chain width; each in-budget match weighs
+    1/(1 + excess gaps); pf = sum of weights feeds the pseudo-term BM25."""
+    from data_prepper_spark.analyzer import tokenize_py
+
+    terms = tokenize_py(phrase)
+    uniq = sorted(set(terms))
+    idx = {t: i for i, t in enumerate(uniq)}
+    exact_w = len(terms) - 1
+    pos_cols = ", ".join(
+        f"list_filter(range(len(toks)), i -> toks[i+1] = '{t}') as pos_{i}"
+        for i, t in enumerate(uniq)
+    )
+    chain = "a"
+    for t in terms[1:]:
+        chain = f"list_min(list_filter(pos_{idx[t]}, x -> x > {chain}))"
+    df_cols = ", ".join(
+        f"count(*) filter (where len(pos_{i}) > 0) as df_{i}"
+        for i in range(len(uniq))
+    )
+    sum_idf = " + ".join(
+        f"ln(1 + (n - df_{idx[t]} + 0.5) / (df_{idx[t]} + 0.5))" for t in terms
+    )
+    return f"""
+        with tk as (select doc_id, {toks} as toks from documents),
+        p as (select doc_id, len(toks) as dl, {pos_cols} from tk),
+        stats as (select count(*) as n, avg(dl) as avgdl, {df_cols} from p),
+        w as (select doc_id, dl,
+                list_filter(list_transform(pos_{idx[terms[0]]}, a -> {chain} - a),
+                            v -> coalesce(v <= {exact_w + slop}, false)) as widths
+              from p),
+        m as (select doc_id, dl,
+                cast(len(widths) as int) as n_matches,
+                list_sum(list_transform(widths, v -> 1.0 / (1 + v - {exact_w}))) as pf
+              from w where len(widths) > 0),
+        sc as (select doc_id, n_matches,
+                round(({sum_idf}) * (pf * 2.2)
+                      / (pf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) as score
+               from m, stats)
+        select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+               doc_id, score, n_matches
+        from sc order by score desc, doc_id asc limit {k}"""
+
+
 def _phrase_prox_oracle(toks: str, phrase: str, k: int = 10) -> str:
     """DuckDB twin of query/phrase.py phrase_topk_adhoc (Lucene
     PhraseQuery scoring: pf-frequency BM25 with summed per-position
@@ -816,6 +873,7 @@ def _textops_oracles() -> dict[str, str]:
             where bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "phrase_prox_topk": _phrase_prox_oracle(toks, PHRASE),
         "phrase_sloppy": _phrase_sloppy_oracle(toks, PHRASE, 2),
+        "phrase_sloppy_topk": _phrase_sloppy_topk_oracle(toks, PHRASE, 2),
         "phrase_search": f"""
             with tk as (select doc_id, {toks} as toks from documents),
             m as (select doc_id,
@@ -1425,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "phrase_prox_topk": q_phrase_prox_topk,
         "phrase_sloppy": q_phrase_sloppy,
+        "phrase_sloppy_topk": q_phrase_sloppy_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint_md5": q_fingerprint,

@@ -113,6 +113,31 @@ def _match_filter(pos_cols: list[Column], slop: int) -> Column:
     return _adjacency_filter(pos_cols) if slop == 0 else _sloppy_filter(pos_cols, slop)
 
 
+def _sloppy_freq(pos_cols: list[Column], slop: int) -> Column:
+    """Lucene SloppyPhraseScorer's weighted phrase frequency: each match
+    contributes 1/(1 + excess) where excess = chain width - exact width,
+    so tighter matches weigh more and an exact match weighs 1.0 (slop=0
+    therefore reduces to the plain occurrence count). Computed as
+    transform(anchors -> chain width) -> filter(within budget) ->
+    aggregate(sum of weights) — pure Catalyst."""
+    n = len(pos_cols)
+
+    def _next_after(pc: Column, lo: Column) -> Column:
+        return F.array_min(F.filter(pc, lambda e: e > lo))
+
+    def width(p: Column) -> Column:
+        cur = p
+        for j in range(1, n):
+            cur = _next_after(pos_cols[j], cur)
+        return cur - p
+
+    widths = F.transform(pos_cols[0], width)
+    ok = F.filter(widths, lambda x: x <= F.lit(n - 1 + slop))
+    return F.aggregate(
+        ok, F.lit(0.0), lambda acc, x: acc + 1.0 / (1 + x - (n - 1))
+    )
+
+
 def phrase_docs(
     spark: SparkSession, index_dir: str, phrase: str, n_shards: int = 64,
     slop: int = 0,
@@ -156,7 +181,12 @@ def phrase_docs(
         cur = tj if cur is None else cur.join(tj, ["shard", "doc_id"])
     pos_cols = [F.col(f"pos_{j}") for j in range(len(terms))]
     matched = cur.withColumn("__m", _match_filter(pos_cols, slop)).where(F.size("__m") > 0)
-    return matched.select("doc_id", F.size("__m").cast("int").alias("n_matches"))
+    sel = ["doc_id", F.size("__m").cast("int").alias("n_matches")]
+    if slop > 0:
+        # weighted frequency for Lucene-style sloppy scoring (exact
+        # matches weigh 1.0, each extra gap divides the weight)
+        sel.append(_sloppy_freq(pos_cols, slop).alias("sloppy_freq"))
+    return matched.select(*sel)
 
 
 def _term_hash_literal(spark: SparkSession, term: str):
@@ -190,6 +220,11 @@ def phrase_topk(
       containing the phrase three times now outranks a one-occurrence doc
       of equal length. Needs only doc_len (docs table join) — no postings
       scan at all, so this mode is CHEAPER than bag mode at scale.
+
+    With ``slop > 0`` and proximity, the frequency becomes Lucene's
+    SloppyPhraseScorer weighted freq — each match contributes
+    1/(1 + excess gaps), so tighter matches rank higher among docs with
+    the same match count (slop=0 reduces to the plain count).
     """
     from .bm25 import score_expr
     from .common import load_stats, query_term_stats
@@ -214,7 +249,9 @@ def phrase_topk(
             return spark.createDataFrame([], empty)  # phrase can't match
         sum_idf = sum(tstats[t]["idf"] for t in all_terms)
         dl = io.read(spark, "docs").select("doc_id", "doc_len")
-        pf = F.col("n_matches").cast("double")
+        pf = (
+            F.col("sloppy_freq") if slop > 0 else F.col("n_matches").cast("double")
+        )
         scored = matches.join(dl, "doc_id").select(
             "doc_id",
             "n_matches",
@@ -291,6 +328,7 @@ def phrase_topk_adhoc(
     phrase: str,
     k: int = 10,
     round_to: int = 4,
+    slop: int = 0,
 ) -> DataFrame:
     """(rank, doc_id, score, n_matches) — Lucene-PhraseQuery-scored phrase
     top-k straight over a corpus, no index: the index-free/oracle twin of
@@ -336,17 +374,12 @@ def phrase_topk_adhoc(
         ],
     )
     pos_for = {t: F.col(f"pos_{i}") for i, t in enumerate(uniq)}
-    anchor = pos_for[terms[0]]
-
-    def ok(p):
-        c = F.lit(True)
-        for j, t in enumerate(terms[1:], start=1):
-            c = c & F.array_contains(pos_for[t], p + j)
-        return c
-
+    pos_cols = [pos_for[t] for t in terms]
     matched = per_doc.withColumn(
-        "n_matches", F.size(F.filter(anchor, ok)).cast("int")
+        "n_matches", F.size(_match_filter(pos_cols, slop)).cast("int")
     ).where(F.col("n_matches") > 0)
+    if slop > 0:
+        matched = matched.withColumn("__pf", _sloppy_freq(pos_cols, slop))
     # sum of per-position idfs: duplicates in the phrase each contribute
     idf_terms = [
         F.log(
@@ -359,7 +392,7 @@ def phrase_topk_adhoc(
     sum_idf = idf_terms[0]
     for e in idf_terms[1:]:
         sum_idf = sum_idf + e
-    pf = F.col("n_matches").cast("double")
+    pf = F.col("__pf") if slop > 0 else F.col("n_matches").cast("double")
     scored = matched.join(F.broadcast(stats)).select(
         F.col("id").alias("doc_id"),
         F.round(

@@ -150,3 +150,38 @@ def test_sloppy_phrase_semantics_and_parity(spark, corpus_dir, pos_index):
             r["doc_id"] for r in phrase_docs(spark, pos_index, phrase, n_shards=8).collect()
         )
         assert exact <= set(indexed), (phrase, slop)
+
+
+def test_sloppy_proximity_scoring(spark, corpus_dir, pos_index, index_dir):
+    """Lucene SloppyPhraseScorer weighting: each match contributes
+    1/(1+excess gaps), so with equal doc length an exact match outranks a
+    one-gap match; indexed and adhoc sloppy-scored paths agree."""
+    import shutil
+
+    from data_prepper_spark.query.phrase import phrase_topk, phrase_topk_adhoc
+
+    rows = [
+        (1, "alpha beta pad pad pad"),     # exact: weight 1.0
+        (2, "alpha gap beta pad pad"),     # 1 gap: weight 0.5
+        (3, "alpha g1 g2 beta pad"),       # 2 gaps: weight 1/3
+        (4, "beta alpha pad pad pad"),     # transposed: no match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = phrase_topk_adhoc(df, "text", "doc_id", "alpha beta", k=10, slop=2).collect()
+    assert [r.doc_id for r in got] == [1, 2, 3]
+    assert got[0].score > got[1].score > got[2].score
+    # slop=0 sloppy weight == plain count (scores identical to exact mode)
+    exact = phrase_topk_adhoc(df, "text", "doc_id", "alpha beta", k=10, slop=0).collect()
+    assert [(r.doc_id, r.score) for r in exact] == [(1, got[0].score)]
+    # indexed twin parity on the real corpus
+    shutil.copytree(f"{pos_index}/positions", f"{index_dir}/positions", dirs_exist_ok=True)
+    from data_prepper_spark.index.build import doc_id_col
+
+    docs = spark.read.parquet(corpus_dir).withColumn("did", doc_id_col())
+    idxed = phrase_topk(spark, index_dir, "return self", k=10, proximity=True, slop=2).collect()
+    adhoc = phrase_topk_adhoc(docs, "content", "did", "return self", k=10, slop=2).collect()
+    assert [(r.rank, r.doc_id, r.n_matches) for r in idxed] == [
+        (r.rank, r.doc_id, r.n_matches) for r in adhoc
+    ]
+    for a, b in zip(idxed, adhoc):
+        assert abs(a.score - b.score) < 1e-3, (a, b)
