@@ -272,3 +272,48 @@ def test_kv_recursive_bracket_tree(spark):
     with _pytest.raises(ValueError):
         key_value_recursive(spark.createDataFrame([("x",)], "kv string"), "kv",
                             field_split_characters="&&")
+
+
+def test_kv_recursive_random_roundtrip(spark):
+    """Randomized round-trip battery: serialize random nested dicts into
+    the bracket syntax, parse with key_value_recursive, and require exact
+    structural equality — covers depth, sibling mixes, and all three
+    bracket families far beyond the handwritten cases."""
+    import json
+    import random
+
+    from data_prepper_spark.operators.parse import key_value_recursive
+
+    rng = random.Random(20260817)
+    brackets = ["[]", "()", "<>"]
+
+    def gen(depth):
+        n = rng.randint(1, 4)
+        d = {}
+        for i in range(n):
+            k = f"k{depth}{i}{rng.randint(0, 99)}"
+            if depth < 3 and rng.random() < 0.45:
+                d[k] = gen(depth + 1)
+            else:
+                d[k] = f"v{rng.randint(0, 999)}"
+        return d
+
+    def ser(d):
+        parts = []
+        for k, v in d.items():
+            if isinstance(v, dict):
+                b = rng.choice(brackets)
+                parts.append(f"{k}={b[0]}{ser(v)}{b[1]}")
+            else:
+                parts.append(f"{k}={v}")
+        return "&".join(parts)
+
+    cases = [gen(0) for _ in range(40)]
+    rows = [(i, ser(c)) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, kv string")
+    got = {
+        r["i"]: json.loads(r["m"])
+        for r in key_value_recursive(df, "kv", "m").collect()
+    }
+    for i, want in enumerate(cases):
+        assert got[i] == want, (i, rows[i][1], got[i], want)

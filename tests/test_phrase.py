@@ -185,3 +185,57 @@ def test_sloppy_proximity_scoring(spark, corpus_dir, pos_index, index_dir):
     ]
     for a, b in zip(idxed, adhoc):
         assert abs(a.score - b.score) < 1e-3, (a, b)
+
+
+def test_sloppy_matching_random_battery(spark):
+    """Randomized cross-check of the greedy-chain sloppy matcher against
+    a direct Python reference (bisect-based greedy chain) over many
+    random token sequences, phrase lengths and slops — one Spark job for
+    the whole battery."""
+    import bisect
+    import random
+
+    from data_prepper_spark.query.phrase import phrase_match_adhoc
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "pad"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(80)
+    ]
+
+    def expected(tokens, terms, slop):
+        pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(terms)}
+        count = 0
+        for p in pos.get(terms[0], []):
+            cur = p
+            dead = False
+            for t in terms[1:]:
+                lst = pos.get(t, [])
+                j = bisect.bisect_right(lst, cur)
+                if j >= len(lst):
+                    dead = True
+                    break
+                cur = lst[j]
+            if not dead and cur - p <= len(terms) - 1 + slop:
+                count += 1
+        return count
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for terms, slop in (
+        (["alpha", "beta"], 0),
+        (["alpha", "beta"], 2),
+        (["beta", "gamma", "alpha"], 1),
+        (["pad", "pad"], 3),
+        (["alpha", "alpha"], 2),
+    ):
+        got = {
+            r["id"]: r["n_matches"]
+            for r in phrase_match_adhoc(df, "text", "doc_id", " ".join(terms), slop=slop).collect()
+        }
+        want = {
+            i: expected(text.split(), terms, slop)
+            for i, text in docs
+        }
+        want = {i: c for i, c in want.items() if c > 0}
+        assert got == want, (terms, slop)
