@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import expression
 from .operators import aggregate as agg_ops
+from .operators import anomaly as anomaly_ops
 from .operators import mutate, parse
 from .operators.enrich import obfuscate, user_agent
 from .operators.translate import translate_map
@@ -57,6 +58,17 @@ def _p_grok(df, cfg):
 
 
 def _p_key_value(df, cfg):
+    if cfg.get("recursive"):
+        # reference recursive:true mode -> nested JSON string destination
+        return parse.key_value_recursive(
+            df,
+            source=cfg.get("source", "message"),
+            destination=cfg.get("destination", "parsed_message"),
+            field_split_characters=cfg.get("field_split_characters", "&"),
+            value_split_characters=cfg.get("value_split_characters", "="),
+            non_match_value=cfg.get("non_match_value"),
+            when=_gate(cfg),
+        )
     return parse.key_value(
         df,
         source=cfg.get("source", "message"),
@@ -146,6 +158,28 @@ def _p_aggregate(df, cfg):
     raise ValueError(f"unknown aggregate action: {name}")
 
 
+def _p_anomaly(df, cfg):
+    """anomaly_detector: mode 'zscore' (default, oracle-checkable) or
+    'random_cut_forest' (real per-group isolation forest, reference
+    RandomCutForestMode analog with shingle/sample options)."""
+    keys = cfg["keys"]
+    value_key = keys[0] if isinstance(keys, list) else keys
+    opts = cfg.get("mode_options") or {}
+    if cfg.get("mode", "zscore") in ("random_cut_forest", "rcf"):
+        return anomaly_ops.rcf_anomalies(
+            df,
+            cfg["identification_keys"],
+            value_key,
+            shingle_size=int(opts.get("shingle_size", 1)),
+            sample_size=int(opts.get("sample_size", 128)),
+            order_key=opts.get("order_key"),
+        )
+    return anomaly_ops.zscore_anomalies(
+        df, cfg["identification_keys"], value_key,
+        threshold=float(cfg.get("threshold", 3.0)),
+    )
+
+
 PROCESSORS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "grok": _p_grok,
     "key_value": _p_key_value,
@@ -183,6 +217,7 @@ PROCESSORS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
         df, c["source"], target=c.get("target", "user_agent")
     ),
     "aggregate": _p_aggregate,
+    "anomaly_detector": _p_anomaly,
 }
 
 

@@ -185,3 +185,37 @@ def test_yaml_grok_syslog_and_list_to_map(spark):
     r = out.collect()[0]
     assert r["logsource"] == "myhost" and r["program"] == "su" and r["pid"] == "230"
     assert dict(r["m"]) == {"a": "1"}
+
+
+def test_yaml_round3_processors(spark):
+    """Round-3 YAML surface: key_value recursive mode and anomaly_detector
+    in both modes compile and run from a pipeline model."""
+    import json
+
+    from data_prepper_spark.pipeline import PipelineRunner
+
+    rows = [(i, "a=[x=1&y=2]&b=3", "g", float(v)) for i, v in enumerate([1, 2, 3, 1000])]
+    df = spark.createDataFrame(rows, "id int, message string, k string, v double")
+    model = {
+        "p": {
+            "source": {"dataframe": {"name": "ev"}},
+            "processor": [
+                {"key_value": {"recursive": True, "destination": "kv"}},
+            ],
+            "sink": [{"stdout": {}}],
+        }
+    }
+    out = PipelineRunner(spark, model, dataframes={"ev": df}).sink_frames("p")[0][1].collect()
+    assert json.loads(out[0]["kv"]) == {"a": {"x": "1", "y": "2"}, "b": "3"}
+    model["p"]["processor"] = [
+        {"anomaly_detector": {"identification_keys": ["k"], "keys": ["v"],
+                              "mode": "random_cut_forest"}}
+    ]
+    flagged = PipelineRunner(spark, model, dataframes={"ev": df}).sink_frames("p")[0][1].collect()
+    assert {r["v"] for r in flagged} == {1000.0}
+    model["p"]["processor"] = [
+        {"anomaly_detector": {"identification_keys": ["k"], "keys": ["v"],
+                              "threshold": 1.0}}
+    ]
+    z = PipelineRunner(spark, model, dataframes={"ev": df}).sink_frames("p")[0][1].collect()
+    assert {r["v"] for r in z} == {1000.0}
