@@ -95,3 +95,23 @@ def test_phrase_adhoc_tokenizes_once(spark):
     out = phrase_match_adhoc(docs, "text", "doc_id", "table scan")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_replace") == 2, plan.count("regexp_replace")
+
+
+def test_phrase_proximity_plan_skips_postings(spark, corpus_dir, index_dir, tmp_path_factory):
+    """phrase_topk(proximity=True) scores the phrase pseudo-term from
+    n_matches + doc_len only — the plan must contain NO scan of the
+    (large) postings table, while bag mode does scan it."""
+    import os
+    import shutil
+
+    from data_prepper_spark.query.phrase import build_positions, phrase_topk
+
+    if not os.path.exists(f"{index_dir}/positions"):
+        d = str(tmp_path_factory.mktemp("posidx_plan"))
+        build_positions(spark, corpus_dir, d, n_shards=8)
+        shutil.copytree(f"{d}/positions", f"{index_dir}/positions")
+    prox = _plan(phrase_topk(spark, index_dir, "return self", k=5, proximity=True))
+    assert "/postings" not in prox
+    assert "/docs" in prox  # doc_len join
+    bag = _plan(phrase_topk(spark, index_dir, "return self", k=5))
+    assert "/postings" in bag
