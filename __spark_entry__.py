@@ -566,6 +566,35 @@ def q_phrase_search(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id")
 
 
+def q_prefix_topk(spark, sf_dir):
+    """Lucene PrefixQuery analog (scoring-boolean rewrite): BM25 bool-OR
+    over every corpus term starting with 'sc', expansion capped at the
+    lowest-df terms (query/multiterm.py; indexed twin parity-tested)."""
+    from data_prepper_spark.query.multiterm import prefix_topk_adhoc
+
+    return prefix_topk_adhoc(_t(spark, sf_dir, "documents"), "text", "doc_id", "sc", k=10)
+
+
+def q_fuzzy_topk(spark, sf_dir):
+    """Lucene FuzzyQuery analog: terms within 1 Levenshtein edit of the
+    typo 'tabl' (sharing its first letter), scored as a bool-OR."""
+    from data_prepper_spark.query.multiterm import fuzzy_topk_adhoc
+
+    return fuzzy_topk_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "tabl", max_edits=1, k=10
+    )
+
+
+def q_facet_counts(spark, sf_dir):
+    """OpenSearch terms-aggregation analog: language facet counts over
+    all docs matching >= 1 query term."""
+    from data_prepper_spark.query.multiterm import facet_counts_adhoc
+
+    return facet_counts_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY, "lang"
+    )
+
+
 def q_phrase_sloppy(spark, sf_dir):
     """Ordered sloppy phrase matching (Lucene match_phrase slop analog,
     ordered subset): per-doc occurrence counts of the phrase with up to 2
@@ -807,6 +836,26 @@ def _phrase_prox_oracle(toks: str, phrase: str, k: int = 10) -> str:
         from sc order by score desc, doc_id asc limit {k}"""
 
 
+def _multiterm_oracle(toks: str, term_where: str, max_expansions: int, k: int = 10) -> str:
+    """DuckDB twin of the multi-term bool-OR BM25 (prefix/fuzzy rewrite +
+    lowest-df expansion cap + sum of per-term contributions)."""
+    return f"""
+        with base as (select doc_id, len({toks}) as dl, {toks} as toks from documents),
+        stats as (select count(*) as n, avg(dl) as avgdl from base),
+        posts as (select doc_id, dl, term, count(*) as tf
+                  from (select doc_id, dl, unnest(toks) as term from base)
+                  where {term_where} group by doc_id, dl, term),
+        tdf as (select term, cast(count(*) as bigint) as df from posts group by term
+                order by df asc, term asc limit {max_expansions}),
+        sc as (select doc_id,
+                 round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) as score
+               from posts join tdf using(term), stats group by doc_id)
+        select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+               doc_id, score
+        from sc order by score desc, doc_id asc limit {k}"""
+
+
 def _textops_oracles() -> dict[str, str]:
     toks = duckdb_tokens_sql("text")
     stop_in = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
@@ -873,6 +922,16 @@ def _textops_oracles() -> dict[str, str]:
             where bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "phrase_prox_topk": _phrase_prox_oracle(toks, PHRASE),
         "phrase_sloppy": _phrase_sloppy_oracle(toks, PHRASE, 2),
+        "ft_prefix_topk": _multiterm_oracle(toks, "term like 'sc%'", 128),
+        "ft_fuzzy_topk": _multiterm_oracle(
+            toks, "term like 't%' and levenshtein(term, 'tabl') <= 1", 64
+        ),
+        "ft_facets": f"""
+            with t as (select doc_id, lang, {toks} as toks from documents)
+            select lang, cast(count(*) as bigint) as doc_count
+            from t
+            where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0
+            group by lang""",
         "phrase_sloppy_topk": _phrase_sloppy_topk_oracle(toks, PHRASE, 2),
         "phrase_search": f"""
             with tk as (select doc_id, {toks} as toks from documents),
@@ -1483,6 +1542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "phrase_prox_topk": q_phrase_prox_topk,
         "phrase_sloppy": q_phrase_sloppy,
+        "ft_prefix_topk": q_prefix_topk,
+        "ft_fuzzy_topk": q_fuzzy_topk,
+        "ft_facets": q_facet_counts,
         "phrase_sloppy_topk": q_phrase_sloppy_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

@@ -1,0 +1,273 @@
+"""Multi-term query surface: prefix, fuzzy, and facet queries.
+
+The reference delegates these to OpenSearch/Lucene (PrefixQuery,
+FuzzyQuery, terms aggregations); the Spark-native renditions rewrite a
+term predicate into a concrete term set against the DICTIONARY (tiny
+vs the corpus, term-sorted parquet so a prefix probe is a row-group
+range scan) and then score the union — Lucene's SCORING_BOOLEAN_REWRITE:
+the multi-term query behaves as a bool-OR of TermQueries, each doc's
+score the sum of its matched terms' BM25 contributions.
+
+Every operator has an index-free twin over any (id, text) DataFrame
+(used by the oracle-checked driver queries); indexed and ad-hoc paths
+are parity-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..analyzer import tokenize_py, tokens_col
+from ..tableio import TableIO
+from ..util import spread
+from .common import B, K1, load_stats
+
+
+def _expand_terms(
+    spark: SparkSession, io: TableIO, pred: Column, max_expansions: int
+) -> list[str]:
+    """Rewrite a dictionary predicate into a concrete term list —
+    Lucene's MultiTermQuery rewrite with its maxExpansions guard (the
+    cheapest ``max_expansions`` terms by df keep the expansion bounded on
+    a 10^8-term dictionary; Lucene caps at 1024 by default for the same
+    reason)."""
+    rows = (
+        io.read(spark, "dictionary")
+        .where(pred)
+        .select("term", "df")
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def terms_topk(
+    spark: SparkSession, index_dir: str, terms: list[str], k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score): bool-OR BM25 over an explicit term set —
+    the shared scorer behind prefix/fuzzy rewrites. Term-pruned postings
+    scan + broadcast idf join + hash agg + TakeOrderedAndProject."""
+    from .bm25 import score_expr
+    from .common import query_term_stats
+
+    io = TableIO(index_dir)
+    n_docs, avgdl = load_stats(spark, io)
+    empty = "rank int, doc_id long, score double"
+    tstats = query_term_stats(spark, io, sorted(set(terms)), n_docs)
+    if not tstats:
+        return spark.createDataFrame([], empty)
+    idf_df = spark.createDataFrame(
+        [(t, s["idf"]) for t, s in tstats.items()], "term string, idf double"
+    )
+    posts = io.read(spark, "postings").where(F.col("term").isin(list(tstats)))
+    topk = (
+        posts.join(F.broadcast(idf_df), "term")
+        .select(
+            "doc_id",
+            score_expr(F.col("idf"), F.col("tf"), F.col("doc_len"), avgdl).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return topk.select(w.alias("rank"), "doc_id", "score")
+
+
+def prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Lucene PrefixQuery with scoring-boolean rewrite. The dictionary
+    probe is a sorted-parquet range scan (startswith pushes as a
+    [prefix, prefix+0xFF) bound)."""
+    io = TableIO(index_dir)
+    terms = _expand_terms(
+        spark, io, F.col("term").startswith(prefix), max_expansions
+    )
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return terms_topk(spark, index_dir, terms, k)
+
+
+def fuzzy_topk(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    max_edits: int = 1,
+    k: int = 10,
+    prefix_length: int = 1,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """Lucene FuzzyQuery analog: terms within ``max_edits`` Levenshtein
+    edits of ``term`` (sharing the first ``prefix_length`` chars, like
+    Lucene's prefixLength — it also turns the dictionary probe into a
+    prefix range scan instead of a full levenshtein pass), scored as a
+    bool-OR of the matched terms."""
+    io = TableIO(index_dir)
+    pred = F.levenshtein(F.col("term"), F.lit(term)) <= max_edits
+    if prefix_length > 0:
+        pred = F.col("term").startswith(term[:prefix_length]) & pred
+    terms = _expand_terms(spark, io, pred, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return terms_topk(spark, index_dir, terms, k)
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    facet_field: str,
+) -> DataFrame:
+    """(facet value, doc_count) over ALL docs matching >= 1 query term —
+    the OpenSearch terms-aggregation-on-a-query analog. Matching doc ids
+    come from a term-pruned postings scan (distinct), facet attributes
+    from the docs table; the join keys both sides on doc_id."""
+    io = TableIO(index_dir)
+    terms = sorted(set(tokenize_py(query_text)))
+    empty = f"{facet_field} string, doc_count long"
+    if not terms:
+        return spark.createDataFrame([], empty)
+    hits = (
+        io.read(spark, "postings")
+        .where(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+    )
+    docs = io.read(spark, "docs").select("doc_id", facet_field)
+    return (
+        docs.join(hits, "doc_id", "left_semi")
+        .groupBy(facet_field)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Index-free twins over any (id, text) DataFrame — the oracle paths.
+# --------------------------------------------------------------------------
+
+
+def _pred_topk_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    term_pred,
+    k: int,
+    round_to: int,
+    max_expansions: int,
+) -> DataFrame:
+    """Shared ad-hoc multi-term scorer: tokenize once, keep postings of
+    terms satisfying ``term_pred`` (a Column -> Column predicate over the
+    term), cap the expansion at the ``max_expansions`` lowest-df terms
+    (Lucene parity with the indexed path), then the standard adhoc BM25
+    tail. Corpus stats (n_docs/avgdl) cover ALL docs."""
+    base = spread(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens_col(text_col).alias("toks"),
+        )
+    ).withColumn("dl", F.size("toks"))
+    stats = base.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    posts = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(term_pred(F.col("term")))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tdf = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = tdf.orderBy(F.asc("df"), F.asc("term")).limit(max_expansions)
+    scored = (
+        posts.join(F.broadcast(kept), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (K1 + 1))
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    topk = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), round_to).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return topk.select(w.alias("rank"), "doc_id", "score")
+
+
+def prefix_topk_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefix: str,
+    k: int = 10,
+    round_to: int = 4,
+    max_expansions: int = 128,
+) -> DataFrame:
+    return _pred_topk_adhoc(
+        df, text_col, id_col,
+        lambda t: t.startswith(prefix),
+        k, round_to, max_expansions,
+    )
+
+
+def fuzzy_topk_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    term: str,
+    max_edits: int = 1,
+    k: int = 10,
+    round_to: int = 4,
+    prefix_length: int = 1,
+    max_expansions: int = 64,
+) -> DataFrame:
+    def pred(t):
+        c = F.levenshtein(t, F.lit(term)) <= max_edits
+        if prefix_length > 0:
+            c = t.startswith(term[:prefix_length]) & c
+        return c
+
+    return _pred_topk_adhoc(df, text_col, id_col, pred, k, round_to, max_expansions)
+
+
+def facet_counts_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text: str,
+    facet_col: str,
+) -> DataFrame:
+    terms = sorted(set(tokenize_py(query_text)))
+    spark = df.sparkSession
+    empty = f"{facet_col} string, doc_count long"
+    if not terms:
+        return spark.createDataFrame([], empty)
+    base = spread(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(facet_col),
+            tokens_col(text_col).alias("toks"),
+        )
+    )
+    hit = F.exists("toks", lambda t: t.isin(terms))
+    return (
+        base.where(hit)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )

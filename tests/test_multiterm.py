@@ -1,0 +1,70 @@
+"""Multi-term query surface: prefix / fuzzy / facets — indexed path ==
+index-free path, plus semantics checks (expansion cap, edit distance,
+OR-scoring)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.index.build import doc_id_col
+from data_prepper_spark.query.multiterm import (
+    facet_counts,
+    facet_counts_adhoc,
+    fuzzy_topk,
+    fuzzy_topk_adhoc,
+    prefix_topk,
+    prefix_topk_adhoc,
+    terms_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_id(spark, corpus_dir):
+    return spark.read.parquet(corpus_dir).withColumn("did", doc_id_col())
+
+
+def _close(idxed, adhoc, tag):
+    assert [(r.rank, r.doc_id) for r in idxed] == [(r.rank, r.doc_id) for r in adhoc], tag
+    for a, b in zip(idxed, adhoc):
+        assert abs(a.score - b.score) < 1e-3, (tag, a, b)
+
+
+def test_prefix_indexed_equals_adhoc(spark, corpus_dir, index_dir, docs_id):
+    for prefix in ("par", "buf", "zz"):
+        idxed = prefix_topk(spark, index_dir, prefix, k=10).collect()
+        adhoc = prefix_topk_adhoc(docs_id, "content", "did", prefix, k=10, round_to=9).collect()
+        _close(idxed, adhoc, prefix)
+    assert prefix_topk(spark, index_dir, "zzqqxx", k=10).collect() == []
+
+
+def test_fuzzy_indexed_equals_adhoc_and_semantics(spark, index_dir, docs_id):
+    for term in ("parse", "bufer"):  # exact word + a typo
+        idxed = fuzzy_topk(spark, index_dir, term, max_edits=1, k=10).collect()
+        adhoc = fuzzy_topk_adhoc(docs_id, "content", "did", term, max_edits=1, k=10, round_to=9).collect()
+        _close(idxed, adhoc, term)
+    # a 1-edit typo still finds documents (the whole point of fuzzy)
+    assert fuzzy_topk(spark, index_dir, "bufer", max_edits=1, k=5).count() > 0
+
+
+def test_prefix_expansion_cap(spark, index_dir):
+    """max_expansions bounds the rewrite like Lucene's maxExpansions —
+    fewer candidate terms can only shrink (or keep) the match set."""
+    wide = terms_topk(spark, index_dir, ["parse", "parser", "parsed"], 10**6).count()
+    capped = prefix_topk(spark, index_dir, "pars", k=10**6, max_expansions=1)
+    assert capped.count() <= max(
+        wide, prefix_topk(spark, index_dir, "pars", k=10**6).count()
+    )
+
+
+def test_facets_indexed_equals_adhoc(spark, index_dir, docs_id):
+    q = "parse buffer"
+    idxed = {
+        r["lang"]: r["doc_count"]
+        for r in facet_counts(spark, index_dir, q, "lang").collect()
+    }
+    adhoc = {
+        r["lang"]: r["doc_count"]
+        for r in facet_counts_adhoc(docs_id, "content", "did", q, "lang").collect()
+    }
+    assert idxed == adhoc and sum(idxed.values()) > 0
