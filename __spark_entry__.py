@@ -595,6 +595,29 @@ def q_facet_counts(spark, sf_dir):
     )
 
 
+def q_more_like_this(spark, sf_dir):
+    """Lucene MoreLikeThisQuery analog: the source doc's top tf*idf terms
+    (minDocFreq-filtered, capped) become a bool-OR BM25 query excluding
+    the source doc (query/multiterm.py; indexed twin parity-tested)."""
+    from data_prepper_spark.query.multiterm import more_like_this_adhoc
+
+    return more_like_this_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", doc_id=0,
+        k=10, max_query_terms=10,
+    )
+
+
+def q_highlight(spark, sf_dir):
+    """Token-window highlighter (OpenSearch highlight-from-_source
+    analog): window of analyzed tokens around the first query-term hit,
+    plus total hit count."""
+    from data_prepper_spark.query.multiterm import highlight_adhoc
+
+    return highlight_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY, window=10, lead=2
+    )
+
+
 def q_phrase_sloppy(spark, sf_dir):
     """Ordered sloppy phrase matching (Lucene match_phrase slop analog,
     ordered subset): per-doc occurrence counts of the phrase with up to 2
@@ -923,6 +946,45 @@ def _textops_oracles() -> dict[str, str]:
         "phrase_prox_topk": _phrase_prox_oracle(toks, PHRASE),
         "phrase_sloppy": _phrase_sloppy_oracle(toks, PHRASE, 2),
         "ft_prefix_topk": _multiterm_oracle(toks, "term like 'sc%'", 128),
+        "ft_more_like_this": f"""
+            with base as (select doc_id, {toks} as toks from documents),
+            stats as (select count(*) as n from base),
+            src as (select term, cast(count(*) as bigint) as tf
+                    from (select unnest(toks) as term from base where doc_id = 0)
+                    group by term),
+            dfs as (select term, cast(count(*) as bigint) as df
+                    from (select distinct doc_id, unnest(toks) as term from base)
+                    where term in (select term from src) group by term),
+            qt as (select s.term
+                   from src s join dfs using(term), stats
+                   where df >= 2
+                   order by -round(tf * ln(1 + (n - df + 0.5) / (df + 0.5)), 6), s.term
+                   limit 10),
+            b2 as (select doc_id, len(toks) as dl, toks from base),
+            st2 as (select count(*) as n, avg(dl) as avgdl from b2),
+            posts as (select doc_id, dl, term, count(*) as tf
+                      from (select doc_id, dl, unnest(toks) as term from b2)
+                      where term in (select term from qt) group by doc_id, dl, term),
+            tdf as (select term, cast(count(*) as bigint) as df from posts group by term),
+            sc as (select doc_id,
+                     round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) as score
+                   from posts join tdf using(term), st2 group by doc_id)
+            select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+                   doc_id, score
+            from sc where doc_id != 0 order by score desc, doc_id asc limit 10""",
+        "ft_highlight": f"""
+            with t as (select doc_id, {toks} as toks from documents),
+            m as (select doc_id, toks,
+                    list_transform(
+                      list_filter(range(len(toks)),
+                                  i -> toks[i+1] in ('key', 'scan', 'table', 'value')),
+                      i -> i + 1) as hits
+                  from t)
+            select doc_id, cast(len(hits) as int) as n_hits,
+                   array_to_string(toks[greatest(hits[1] - 2, 1) :
+                                        greatest(hits[1] - 2, 1) + 9], ' ') as snippet
+            from m where len(hits) > 0""",
         "ft_fuzzy_topk": _multiterm_oracle(
             toks, "term like 't%' and levenshtein(term, 'tabl') <= 1", 64
         ),
@@ -1545,6 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix_topk": q_prefix_topk,
         "ft_fuzzy_topk": q_fuzzy_topk,
         "ft_facets": q_facet_counts,
+        "ft_more_like_this": q_more_like_this,
+        "ft_highlight": q_highlight,
         "phrase_sloppy_topk": q_phrase_sloppy_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,

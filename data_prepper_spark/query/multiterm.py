@@ -271,3 +271,168 @@ def facet_counts_adhoc(
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Lucene MoreLikeThisQuery analog: the source doc's top terms by
+    tf*idf (bounded at ``max_query_terms``, terms with df <
+    ``min_doc_freq`` dropped as noise — Lucene's minDocFreq) become a
+    bool-OR BM25 query; the source doc itself is excluded from the
+    result. The doc's postings row-set is partition-pruned by its shard
+    before the doc_id filter."""
+    from .common import idf as _idf
+
+    io = TableIO(index_dir)
+    n_docs, _ = load_stats(spark, io)
+    doc_terms = (
+        io.read(spark, "postings")
+        .where(F.col("doc_id") == doc_id)
+        .select("term", "tf")
+        .collect()
+    )
+    if not doc_terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    tf_by_term = {r["term"]: int(r["tf"]) for r in doc_terms}
+    dic = (
+        io.read(spark, "dictionary")
+        .where(F.col("term").isin(list(tf_by_term)))
+        .select("term", "df")
+        .collect()
+    )
+    # tf*idf rounded to 6 digits before the cutoff: the adhoc twin and
+    # the DuckDB oracle rank with independently-computed logs, and the
+    # rounding makes all three term sets tie-break identically
+    ranked = sorted(
+        (
+            (-round(tf_by_term[r["term"]] * _idf(n_docs, int(r["df"])), 6), r["term"])
+            for r in dic
+            if int(r["df"]) >= min_doc_freq
+        ),
+    )[:max_query_terms]
+    terms = [t for _, t in ranked]
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    out = terms_topk(spark, index_dir, terms, k + 1)
+    out = out.where(F.col("doc_id") != doc_id).limit(k)
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return out.select(w.alias("rank"), "doc_id", "score")
+
+
+def highlight_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text: str,
+    window: int = 10,
+    lead: int = 2,
+) -> DataFrame:
+    """(doc_id, n_hits, snippet) for docs matching >= 1 query term — the
+    token-window rendition of OpenSearch's highlighter (which reads
+    _source; this engine likewise highlights from the source table, the
+    index stores no content by design). The snippet is the ``window``
+    analyzed tokens starting ``lead`` tokens before the FIRST query-term
+    occurrence — a deterministic, per-doc rule that needs no corpus
+    statistics, so it is fully SQL-expressible for the oracle."""
+    terms = sorted(set(tokenize_py(query_text)))
+    spark = df.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, n_hits int, snippet string")
+    base = spread(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens_col(text_col).alias("toks"),
+        )
+    )
+    hit_positions = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: F.element_at("toks", i).isin(terms),
+    )
+    matched = base.withColumn("__hits", hit_positions).where(F.size("__hits") > 0)
+    first = F.element_at("__hits", 1)
+    start = F.greatest(first - lead, F.lit(1))
+    return matched.select(
+        "doc_id",
+        F.size("__hits").cast("int").alias("n_hits"),
+        F.concat_ws(" ", F.slice("toks", start, window)).alias("snippet"),
+    )
+
+
+def more_like_this_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_doc_freq: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Index-free twin of more_like_this (the oracle path): source-doc
+    term tf from its tokens, corpus df for those terms, tf*idf ranking
+    (rounded to 6 digits before the cutoff so the Spark and SQL term
+    sets tie-break identically), then the shared bool-OR scorer."""
+    import math
+
+    spark = df.sparkSession
+    empty = "rank int, doc_id long, score double"
+    base = spread(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens_col(text_col).alias("toks"),
+        )
+    )
+    src = (
+        base.where(F.col("doc_id") == doc_id)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    )
+    if not src:
+        return spark.createDataFrame([], empty)
+    tf_by_term = {r["term"]: int(r["tf"]) for r in src}
+    stats = (
+        base.select(
+            "doc_id", F.array_distinct("toks").alias("u")
+        )
+        .select("doc_id", F.explode("u").alias("term"))
+        .where(F.col("term").isin(list(tf_by_term)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = base.count()
+    rows = stats.collect()
+    ranked = sorted(
+        (
+            (
+                -round(
+                    tf_by_term[r["term"]]
+                    * math.log(1 + (n_docs - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5)),
+                    6,
+                ),
+                r["term"],
+            )
+            for r in rows
+            if int(r["df"]) >= min_doc_freq
+        ),
+    )[:max_query_terms]
+    terms = [t for _, t in ranked]
+    if not terms:
+        return spark.createDataFrame([], empty)
+    out = _pred_topk_adhoc(
+        df, text_col, id_col, lambda t: t.isin(terms), k + 1, round_to, len(terms)
+    )
+    out = out.where(F.col("doc_id") != doc_id).limit(k)
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return out.select(w.alias("rank"), "doc_id", "score")

@@ -68,3 +68,28 @@ def test_facets_indexed_equals_adhoc(spark, index_dir, docs_id):
         for r in facet_counts_adhoc(docs_id, "content", "did", q, "lang").collect()
     }
     assert idxed == adhoc and sum(idxed.values()) > 0
+
+
+def test_more_like_this_indexed_equals_adhoc(spark, corpus_dir, index_dir, docs_id):
+    from data_prepper_spark.query.multiterm import more_like_this, more_like_this_adhoc
+
+    src = docs_id.select("did").first()["did"]
+    idxed = more_like_this(spark, index_dir, src, k=10, max_query_terms=10).collect()
+    adhoc = more_like_this_adhoc(
+        docs_id, "content", "did", src, k=10, max_query_terms=10, round_to=9
+    ).collect()
+    assert idxed, "similar docs must exist in a homogeneous corpus"
+    _close(idxed, adhoc, "mlt")
+    assert all(r.doc_id != src for r in idxed)  # source doc excluded
+
+
+def test_highlight_snippets(spark, docs_id):
+    from data_prepper_spark.query.multiterm import highlight_adhoc
+
+    out = highlight_adhoc(docs_id, "content", "did", "def return", window=6, lead=1).collect()
+    assert out
+    for r in out[:20]:
+        toks = r["snippet"].split(" ")
+        assert len(toks) <= 6
+        assert ("def" in toks) or ("return" in toks)
+        assert r["n_hits"] >= 1
