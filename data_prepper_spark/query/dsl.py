@@ -1,0 +1,257 @@
+"""OpenSearch query-DSL subset -> DataFrame programs.
+
+The reference's consumers query its output through the OpenSearch DSL;
+this compiler lets them run the common shapes directly against the native
+index. Supported (the working subset of a log/code-search deployment):
+
+  {"match":        {"content": "tokens ..."}}                (scoring)
+  {"match_phrase": {"content": {"query": "...", "slop": n}}} (scoring)
+  {"prefix":       {"content": "pre"}}                       (scoring)
+  {"fuzzy":        {"content": {"value": "term", "fuzziness": n}}} (scoring)
+  {"term":  {"<docs attr>": value}}                          (filter)
+  {"terms": {"<docs attr>": [v1, v2]}}                       (filter)
+  {"range": {"<docs attr>": {"gt"/"gte"/"lt"/"lte": v}}}     (filter)
+  {"match_all": {}}                                          (filter)
+  {"bool": {"must": [...], "should": [...],
+            "must_not": [...], "filter": [...]}}
+
+Scoring model matches Lucene's bool query: a doc must satisfy every
+``must`` clause; its score is the SUM of all matched must + should clause
+scores (should clauses are optional score boosters when any must/filter
+clause exists, required-one-of otherwise); ``must_not`` excludes;
+``filter`` restricts without scoring. ``from``/``size`` paginate the
+final (score desc, doc_id asc) order.
+
+Compilation is purely declarative: every scoring leaf becomes a full
+(doc_id, score) aggregate over term-pruned postings scans, every filter
+leaf a pushed predicate on the docs table, and the bool combiner is a
+join tree Catalyst/AQE can reorder — no driver-side evaluation beyond
+dictionary lookups.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..analyzer import tokenize_py
+from ..tableio import TableIO
+from .bm25 import score_expr
+from .common import load_stats, query_term_stats
+from .multiterm import _expand_terms
+
+
+def _leaf_body(clause: dict) -> tuple[str, Any]:
+    assert len(clause) == 1, f"clause must have exactly one key: {clause}"
+    return next(iter(clause.items()))
+
+
+class _Compiler:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.io = TableIO(index_dir)
+        self.n_docs, self.avgdl = load_stats(spark, self.io)
+
+    # ---------------------------------------------------- scoring leaves --
+    def _score_terms(self, terms: list[str]) -> DataFrame | None:
+        """Full (doc_id, score) bool-OR BM25 aggregate for a term set."""
+        tstats = query_term_stats(self.spark, self.io, sorted(set(terms)), self.n_docs)
+        if not tstats:
+            return None
+        idf_df = self.spark.createDataFrame(
+            [(t, s["idf"]) for t, s in tstats.items()], "term string, idf double"
+        )
+        posts = self.io.read(self.spark, "postings").where(
+            F.col("term").isin(list(tstats))
+        )
+        return (
+            posts.join(F.broadcast(idf_df), "term")
+            .select(
+                "doc_id",
+                score_expr(
+                    F.col("idf"), F.col("tf"), F.col("doc_len"), self.avgdl
+                ).alias("s"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("s").alias("score"))
+        )
+
+    def _score_leaf(self, kind: str, body: Any) -> DataFrame | None:
+        """None = clause matches nothing (absent terms)."""
+        if kind == "match":
+            field, spec = _leaf_body(body)
+            text = spec["query"] if isinstance(spec, dict) else spec
+            self._require_content(field, kind)
+            return self._score_terms(tokenize_py(text))
+        if kind == "match_phrase":
+            from .phrase import phrase_docs
+
+            field, spec = _leaf_body(body)
+            self._require_content(field, kind)
+            if not self.io.exists("positions"):
+                raise ValueError(
+                    "match_phrase requires the positions table; run "
+                    "query.phrase.build_positions over the corpus first"
+                )
+            text = spec["query"] if isinstance(spec, dict) else spec
+            slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+            all_terms = tokenize_py(text)
+            tstats = query_term_stats(
+                self.spark, self.io, sorted(set(all_terms)), self.n_docs
+            )
+            if len(tstats) < len(set(all_terms)):
+                return None  # a phrase term is absent -> no matches
+            sum_idf = sum(tstats[t]["idf"] for t in all_terms)
+            matches = phrase_docs(self.spark, self.io.root, text, slop=slop)
+            pf = (
+                F.col("sloppy_freq")
+                if slop > 0
+                else F.col("n_matches").cast("double")
+            )
+            dl = self.io.read(self.spark, "docs").select("doc_id", "doc_len")
+            return matches.join(dl, "doc_id").select(
+                "doc_id",
+                score_expr(F.lit(sum_idf), pf, F.col("doc_len"), self.avgdl).alias(
+                    "score"
+                ),
+            )
+        if kind == "prefix":
+            field, spec = _leaf_body(body)
+            self._require_content(field, kind)
+            prefix = spec["value"] if isinstance(spec, dict) else spec
+            terms = _expand_terms(
+                self.spark, self.io, F.col("term").startswith(prefix), 128
+            )
+            return self._score_terms(terms) if terms else None
+        if kind == "fuzzy":
+            field, spec = _leaf_body(body)
+            self._require_content(field, kind)
+            value = spec["value"] if isinstance(spec, dict) else spec
+            max_edits = int(spec.get("fuzziness", 1)) if isinstance(spec, dict) else 1
+            pred = F.col("term").startswith(value[:1]) & (
+                F.levenshtein(F.col("term"), F.lit(value)) <= max_edits
+            )
+            terms = _expand_terms(self.spark, self.io, pred, 64)
+            return self._score_terms(terms) if terms else None
+        raise ValueError(f"unsupported scoring clause: {kind}")
+
+    def _require_content(self, field: str, kind: str) -> None:
+        if field != "content":
+            raise ValueError(
+                f"{kind} supports the indexed text field 'content' only, got {field!r}"
+            )
+
+    # ----------------------------------------------------- filter leaves --
+    def _filter_leaf(self, kind: str, body: Any) -> DataFrame:
+        """doc_id set for a non-scoring clause (docs-table predicate,
+        pushed to the parquet scan)."""
+        docs = self.io.read(self.spark, "docs")
+        if kind == "match_all":
+            return docs.select("doc_id")
+        if kind == "term":
+            field, value = _leaf_body(body)
+            return docs.where(F.col(field) == value).select("doc_id")
+        if kind == "terms":
+            field, values = _leaf_body(body)
+            return docs.where(F.col(field).isin(list(values))).select("doc_id")
+        if kind == "range":
+            field, bounds = _leaf_body(body)
+            c = F.lit(True)
+            ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+            for op, v in bounds.items():
+                c = c & getattr(F.col(field), ops[op])(v)
+            return docs.where(c).select("doc_id")
+        raise ValueError(f"unsupported filter clause: {kind}")
+
+    def _is_filter(self, kind: str) -> bool:
+        return kind in ("term", "terms", "range", "match_all")
+
+    # ---------------------------------------------------------- combiner --
+    def compile(self, dsl: dict) -> DataFrame:
+        """Full (doc_id, score) result of a query clause (pre-top-k)."""
+        kind, body = _leaf_body(dsl)
+        if kind == "bool":
+            return self._compile_bool(body)
+        if self._is_filter(kind):
+            return self._filter_leaf(kind, body).withColumn("score", F.lit(0.0))
+        scored = self._score_leaf(kind, body)
+        if scored is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return scored
+
+    def _compile_bool(self, body: dict) -> DataFrame:
+        must = [self.compile(c) for c in body.get("must", [])]
+        should = [self.compile(c) for c in body.get("should", [])]
+        filters = [
+            self._filter_leaf(*_leaf_body(c)) for c in body.get("filter", [])
+        ]
+        must_not = [self.compile(c) for c in body.get("must_not", [])]
+        if must:
+            cur = must[0]
+            for m in must[1:]:
+                # inner join on doc_id, scores add (Lucene conjunction)
+                cur = (
+                    cur.alias("l")
+                    .join(m.alias("r"), "doc_id")
+                    .select("doc_id", (F.col("l.score") + F.col("r.score")).alias("score"))
+                )
+        elif filters:
+            cur = filters.pop(0).withColumn("score", F.lit(0.0))
+        elif should:
+            # pure-should bool: at least one should clause must match
+            cur = should[0]
+            for sdf in should[1:]:
+                cur = (
+                    cur.alias("l")
+                    .join(sdf.alias("r"), "doc_id", "full_outer")
+                    .select(
+                        F.coalesce(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_id"),
+                        (
+                            F.coalesce(F.col("l.score"), F.lit(0.0))
+                            + F.coalesce(F.col("r.score"), F.lit(0.0))
+                        ).alias("score"),
+                    )
+                )
+            should = []
+        else:
+            raise ValueError("bool query needs at least one of must/should/filter")
+        for sdf in should:
+            # optional score boost: left join, add when matched
+            cur = (
+                cur.alias("l")
+                .join(sdf.alias("r"), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (F.col("l.score") + F.coalesce(F.col("r.score"), F.lit(0.0))).alias(
+                        "score"
+                    ),
+                )
+            )
+        for fl in filters:
+            cur = cur.join(fl, "doc_id", "left_semi")
+        for mn in must_not:
+            cur = cur.join(mn.select("doc_id"), "doc_id", "left_anti")
+        return cur
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    dsl: dict,
+    size: int = 10,
+    from_: int = 0,
+) -> DataFrame:
+    """(rank, doc_id, score) for an OpenSearch-DSL query dict against the
+    native index, ordered (score desc, doc_id asc), paginated by
+    ``from_``/``size`` — rank is absolute (1-based over the full order)."""
+    full = _Compiler(spark, index_dir).compile(dsl)
+    topn = full.orderBy(F.desc("score"), F.asc("doc_id")).limit(from_ + size)
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return topn.select(w.alias("rank"), "doc_id", "score").where(
+        F.col("rank") > from_
+    )

@@ -1,0 +1,106 @@
+"""OpenSearch query-DSL compiler: clause semantics + equivalence to the
+engine's dedicated operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_prepper_spark.query.dsl import search
+
+
+@pytest.fixture(scope="module")
+def dsl_index(spark, corpus_dir, index_dir):
+    import os
+    import shutil
+
+    from data_prepper_spark.query.phrase import build_positions
+
+    if not os.path.exists(f"{index_dir}/positions"):
+        d = f"{index_dir}_pos_tmp"
+        build_positions(spark, corpus_dir, d, n_shards=8)
+        shutil.copytree(f"{d}/positions", f"{index_dir}/positions")
+    return index_dir
+
+
+def test_match_equals_bm25(spark, dsl_index):
+    from data_prepper_spark.query.bm25 import bm25_topk
+
+    got = search(spark, dsl_index, {"match": {"content": "def return value"}}, size=10).collect()
+    want = bm25_topk(spark, dsl_index, "def return value", k=10).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-9
+
+
+def test_bool_filter_equals_filtered_search(spark, dsl_index):
+    from data_prepper_spark.query.bm25 import bm25_topk_filtered
+
+    dsl = {"bool": {"must": [{"match": {"content": "def return"}}],
+                    "filter": [{"term": {"lang": "python"}}]}}
+    got = search(spark, dsl_index, dsl, size=10).collect()
+    want = bm25_topk_filtered(spark, dsl_index, "def return", "lang = 'python'", k=10).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-9
+
+
+def test_pure_should_equals_multi_token_match(spark, dsl_index):
+    dsl = {"bool": {"should": [{"match": {"content": "def"}},
+                               {"match": {"content": "return"}}]}}
+    got = search(spark, dsl_index, dsl, size=10).collect()
+    want = search(spark, dsl_index, {"match": {"content": "def return"}}, size=10).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-9
+
+
+def test_must_not_excludes(spark, dsl_index, corpus_dir):
+    from data_prepper_spark.index.build import doc_id_col
+    from data_prepper_spark.analyzer import tokens_col
+
+    dsl = {"bool": {"must": [{"match": {"content": "def return"}}],
+                    "must_not": [{"match": {"content": "class"}}]}}
+    got = {r.doc_id for r in search(spark, dsl_index, dsl, size=1000).collect()}
+    assert got
+    with_class = {
+        r["did"]
+        for r in spark.read.parquet(corpus_dir)
+        .select(doc_id_col().alias("did"), tokens_col("content").alias("t"))
+        .where(F.array_contains("t", "class"))
+        .collect()
+    }
+    assert not (got & with_class)
+
+
+def test_should_boost_and_range_filter(spark, dsl_index):
+    base = {r.doc_id: r.score for r in search(
+        spark, dsl_index, {"match": {"content": "def return"}}, size=1000).collect()}
+    boosted = {r.doc_id: r.score for r in search(
+        spark, dsl_index,
+        {"bool": {"must": [{"match": {"content": "def return"}}],
+                  "should": [{"match": {"content": "buffer"}}]}}, size=1000).collect()}
+    assert set(boosted) == set(base)  # should never changes the match set
+    assert any(boosted[d] > base[d] + 1e-12 for d in base)  # some docs boosted
+    assert all(boosted[d] >= base[d] - 1e-12 for d in base)
+    # range filter restricts to long docs only
+    long_only = search(
+        spark, dsl_index,
+        {"bool": {"must": [{"match": {"content": "def return"}}],
+                  "filter": [{"range": {"doc_len": {"gte": 50}}}]}}, size=1000).collect()
+    lens = {r["doc_id"]: r["doc_len"] for r in
+            spark.read.parquet(f"{dsl_index}/docs").select("doc_id", "doc_len").collect()}
+    assert long_only and all(lens[r.doc_id] >= 50 for r in long_only)
+
+
+def test_match_phrase_and_pagination(spark, dsl_index):
+    dsl = {"bool": {"must": [{"match_phrase": {"content": {"query": "return self", "slop": 1}}}]}}
+    full = search(spark, dsl_index, dsl, size=10).collect()
+    assert full
+    page2 = search(spark, dsl_index, dsl, size=5, from_=5).collect()
+    assert [(r.rank, r.doc_id) for r in page2] == [(r.rank, r.doc_id) for r in full[5:]]
+
+
+def test_unsupported_clause_raises(spark, dsl_index):
+    with pytest.raises(ValueError, match="unsupported"):
+        search(spark, dsl_index, {"wildcard": {"content": "x*"}}, size=5).collect()
