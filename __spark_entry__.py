@@ -585,6 +585,16 @@ def q_fuzzy_topk(spark, sf_dir):
     )
 
 
+def q_wildcard_topk(spark, sf_dir):
+    """Lucene WildcardQuery analog: '*'/'?' pattern over dictionary terms
+    ('s?a*' matches scan/...), scored as a bool-OR (query/multiterm.py)."""
+    from data_prepper_spark.query.multiterm import wildcard_topk_adhoc
+
+    return wildcard_topk_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "s?a*", k=10
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """OpenSearch terms-aggregation analog: language facet counts over
     all docs matching >= 1 query term."""
@@ -946,6 +956,9 @@ def _textops_oracles() -> dict[str, str]:
         "phrase_prox_topk": _phrase_prox_oracle(toks, PHRASE),
         "phrase_sloppy": _phrase_sloppy_oracle(toks, PHRASE, 2),
         "ft_prefix_topk": _multiterm_oracle(toks, "term like 'sc%'", 128),
+        "ft_wildcard_topk": _multiterm_oracle(
+            toks, "regexp_matches(term, '^s.a.*$')", 128
+        ),
         "ft_more_like_this": f"""
             with base as (select doc_id, {toks} as toks from documents),
             stats as (select count(*) as n from base),
@@ -1607,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix_topk": q_prefix_topk,
         "ft_fuzzy_topk": q_fuzzy_topk,
         "ft_facets": q_facet_counts,
+        "ft_wildcard_topk": q_wildcard_topk,
         "ft_more_like_this": q_more_like_this,
         "ft_highlight": q_highlight,
         "phrase_sloppy_topk": q_phrase_sloppy_topk,

@@ -126,6 +126,27 @@ class _Compiler:
                 self.spark, self.io, F.col("term").startswith(prefix), 128
             )
             return self._score_terms(terms) if terms else None
+        if kind == "wildcard":
+            from .multiterm import _wildcard_regex
+
+            field, spec = _leaf_body(body)
+            self._require_content(field, kind)
+            pattern = spec["value"] if isinstance(spec, dict) else spec
+            pred = F.col("term").rlike(_wildcard_regex(pattern))
+            lit_prefix = pattern.split("*")[0].split("?")[0]
+            if lit_prefix:
+                pred = F.col("term").startswith(lit_prefix) & pred
+            terms = _expand_terms(self.spark, self.io, pred, 128)
+            return self._score_terms(terms) if terms else None
+        if kind == "regexp":
+            field, spec = _leaf_body(body)
+            self._require_content(field, kind)
+            rx = spec["value"] if isinstance(spec, dict) else spec
+            anchored = rx if rx.startswith("^") else f"^(?:{rx})$"
+            terms = _expand_terms(
+                self.spark, self.io, F.col("term").rlike(anchored), 128
+            )
+            return self._score_terms(terms) if terms else None
         if kind == "fuzzy":
             field, spec = _leaf_body(body)
             self._require_content(field, kind)

@@ -436,3 +436,75 @@ def more_like_this_adhoc(
         Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
     )
     return out.select(w.alias("rank"), "doc_id", "score")
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """Lucene wildcard syntax -> anchored Java/RE2-safe regex: '*' = any
+    run, '?' = one char, everything else literal."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_topk(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Lucene WildcardQuery analog ('*' any run, '?' one char), rewritten
+    against the dictionary and scored as a bool-OR. A leading-literal
+    pattern prunes the dictionary scan via the derived prefix bound
+    (same trick Lucene plays with the term index)."""
+    io = TableIO(index_dir)
+    pred = F.col("term").rlike(_wildcard_regex(pattern))
+    lit_prefix = pattern.split("*")[0].split("?")[0]
+    if lit_prefix:
+        pred = F.col("term").startswith(lit_prefix) & pred
+    terms = _expand_terms(spark, io, pred, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return terms_topk(spark, index_dir, terms, k)
+
+
+def regexp_topk(
+    spark: SparkSession,
+    index_dir: str,
+    regex: str,
+    k: int = 10,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Lucene RegexpQuery analog: dictionary terms fully matching the
+    regex (anchored, like Lucene) scored as a bool-OR."""
+    io = TableIO(index_dir)
+    anchored = regex if regex.startswith("^") else f"^(?:{regex})$"
+    terms = _expand_terms(
+        spark, io, F.col("term").rlike(anchored), max_expansions
+    )
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return terms_topk(spark, index_dir, terms, k)
+
+
+def wildcard_topk_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pattern: str,
+    k: int = 10,
+    round_to: int = 4,
+    max_expansions: int = 128,
+) -> DataFrame:
+    rx = _wildcard_regex(pattern)
+    return _pred_topk_adhoc(
+        df, text_col, id_col, lambda t: t.rlike(rx), k, round_to, max_expansions
+    )

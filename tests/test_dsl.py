@@ -101,6 +101,20 @@ def test_match_phrase_and_pagination(spark, dsl_index):
     assert [(r.rank, r.doc_id) for r in page2] == [(r.rank, r.doc_id) for r in full[5:]]
 
 
+def test_wildcard_equals_prefix(spark, dsl_index):
+    """'par*' as a wildcard is exactly the prefix query."""
+    from data_prepper_spark.query.multiterm import prefix_topk
+
+    got = search(spark, dsl_index, {"wildcard": {"content": "par*"}}, size=10).collect()
+    want = prefix_topk(spark, dsl_index, "par", k=10).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+
+
+def test_regexp_clause_runs(spark, dsl_index):
+    got = search(spark, dsl_index, {"regexp": {"content": "pars.+"}}, size=10).collect()
+    assert got  # parse/parser/... exist in the synthetic corpus
+
+
 def test_unsupported_clause_raises(spark, dsl_index):
     with pytest.raises(ValueError, match="unsupported"):
-        search(spark, dsl_index, {"wildcard": {"content": "x*"}}, size=5).collect()
+        search(spark, dsl_index, {"knn": {"embedding": []}}, size=5).collect()
