@@ -59,7 +59,14 @@ def test_phrase_topk_proximity_parity_and_ordering(spark, corpus_dir, pos_index,
 
     from data_prepper_spark.query.phrase import phrase_topk, phrase_topk_adhoc
 
-    shutil.copytree(f"{pos_index}/positions", f"{index_dir}/positions", dirs_exist_ok=True)
+    # first-writer-wins: another suite (test_dsl/test_plans) may already
+    # have installed an identical positions table with different part
+    # filenames — dirs_exist_ok would MERGE the file sets and duplicate
+    # every row
+    import os as _os
+
+    if not _os.path.exists(f"{index_dir}/positions"):
+        shutil.copytree(f"{pos_index}/positions", f"{index_dir}/positions")
     from data_prepper_spark.index.build import doc_id_col
 
     docs = spark.read.parquet(corpus_dir).withColumn("did", doc_id_col())
@@ -92,7 +99,14 @@ def test_phrase_topk_ranked(spark, corpus_dir, pos_index, index_dir):
     # positions live beside the main index for this test
     import shutil
 
-    shutil.copytree(f"{pos_index}/positions", f"{index_dir}/positions", dirs_exist_ok=True)
+    # first-writer-wins: another suite (test_dsl/test_plans) may already
+    # have installed an identical positions table with different part
+    # filenames — dirs_exist_ok would MERGE the file sets and duplicate
+    # every row
+    import os as _os
+
+    if not _os.path.exists(f"{index_dir}/positions"):
+        shutil.copytree(f"{pos_index}/positions", f"{index_dir}/positions")
     phrase = "return self"
     got = phrase_topk(spark, index_dir, phrase, k=10).collect()
     assert got, "corpus should contain the phrase"
@@ -174,7 +188,14 @@ def test_sloppy_proximity_scoring(spark, corpus_dir, pos_index, index_dir):
     exact = phrase_topk_adhoc(df, "text", "doc_id", "alpha beta", k=10, slop=0).collect()
     assert [(r.doc_id, r.score) for r in exact] == [(1, got[0].score)]
     # indexed twin parity on the real corpus
-    shutil.copytree(f"{pos_index}/positions", f"{index_dir}/positions", dirs_exist_ok=True)
+    # first-writer-wins: another suite (test_dsl/test_plans) may already
+    # have installed an identical positions table with different part
+    # filenames — dirs_exist_ok would MERGE the file sets and duplicate
+    # every row
+    import os as _os
+
+    if not _os.path.exists(f"{index_dir}/positions"):
+        shutil.copytree(f"{pos_index}/positions", f"{index_dir}/positions")
     from data_prepper_spark.index.build import doc_id_col
 
     docs = spark.read.parquet(corpus_dir).withColumn("did", doc_id_col())
