@@ -196,12 +196,38 @@ class _Compiler:
         kind, body = _leaf_body(dsl)
         if kind == "bool":
             return self._compile_bool(body)
+        # per-clause boost (the DSL's {"boost": n} / field^n analog):
+        # multiplies the clause's score like Lucene's BoostQuery
+        boost = 1.0
+        if isinstance(body, dict) and len(body) == 1:
+            _, spec = _leaf_body(body)
+            if isinstance(spec, dict) and "boost" in spec:
+                boost = float(spec["boost"])
         if self._is_filter(kind):
             return self._filter_leaf(kind, body).withColumn("score", F.lit(0.0))
         scored = self._score_leaf(kind, body)
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        if boost != 1.0:
+            scored = scored.select("doc_id", (F.col("score") * boost).alias("score"))
         return scored
+
+    def _apply_msm(self, cur: DataFrame, should: list[DataFrame], msm: int) -> DataFrame:
+        """minimum_should_match with a must/filter base: the doc must
+        additionally match >= msm should clauses, whose scores add."""
+        import functools
+
+        allc = functools.reduce(
+            lambda a, b: a.unionByName(b), (s.select("doc_id", "score") for s in should)
+        )
+        agg = (
+            allc.groupBy("doc_id")
+            .agg(F.sum("score").alias("__ss"), F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") >= msm)
+        )
+        return cur.join(agg, "doc_id").select(
+            "doc_id", (F.col("score") + F.col("__ss")).alias("score")
+        )
 
     def _compile_bool(self, body: dict) -> DataFrame:
         must = [self.compile(c) for c in body.get("must", [])]
@@ -210,6 +236,7 @@ class _Compiler:
             self._filter_leaf(*_leaf_body(c)) for c in body.get("filter", [])
         ]
         must_not = [self.compile(c) for c in body.get("must_not", [])]
+        msm = int(body.get("minimum_should_match", 0))
         if must:
             cur = must[0]
             for m in must[1:]:
@@ -219,23 +246,32 @@ class _Compiler:
                     .join(m.alias("r"), "doc_id")
                     .select("doc_id", (F.col("l.score") + F.col("r.score")).alias("score"))
                 )
+            if msm > 0 and should:
+                cur = self._apply_msm(cur, should, msm)
+                should = []
         elif filters:
             cur = filters.pop(0).withColumn("score", F.lit(0.0))
+            if msm > 0 and should:
+                cur = self._apply_msm(cur, should, msm)
+                should = []
         elif should:
-            # pure-should bool: at least one should clause must match
-            cur = should[0]
-            for sdf in should[1:]:
-                cur = (
-                    cur.alias("l")
-                    .join(sdf.alias("r"), "doc_id", "full_outer")
-                    .select(
-                        F.coalesce(F.col("l.doc_id"), F.col("r.doc_id")).alias("doc_id"),
-                        (
-                            F.coalesce(F.col("l.score"), F.lit(0.0))
-                            + F.coalesce(F.col("r.score"), F.lit(0.0))
-                        ).alias("score"),
-                    )
-                )
+            # pure-should bool: union all clause aggregates, then one
+            # groupBy sums scores and counts matched clauses — a single
+            # shuffle instead of a chain of full-outer joins, and the
+            # count gives minimum_should_match (default 1 = at least one
+            # clause matches, the OpenSearch default for pure-should)
+            msm = max(1, msm)
+            import functools
+
+            allc = functools.reduce(
+                lambda a, b: a.unionByName(b), (s.select("doc_id", "score") for s in should)
+            )
+            cur = (
+                allc.groupBy("doc_id")
+                .agg(F.sum("score").alias("score"), F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") >= msm)
+                .select("doc_id", "score")
+            )
             should = []
         else:
             raise ValueError("bool query needs at least one of must/should/filter")

@@ -118,3 +118,34 @@ def test_regexp_clause_runs(spark, dsl_index):
 def test_unsupported_clause_raises(spark, dsl_index):
     with pytest.raises(ValueError, match="unsupported"):
         search(spark, dsl_index, {"knn": {"embedding": []}}, size=5).collect()
+
+
+def test_boost_and_minimum_should_match(spark, dsl_index):
+    # boost: doubling one clause's weight doubles its contribution
+    base = {r.doc_id: r.score for r in search(
+        spark, dsl_index, {"match": {"content": "buffer"}}, size=1000).collect()}
+    boosted = {r.doc_id: r.score for r in search(
+        spark, dsl_index, {"match": {"content": {"query": "buffer", "boost": 2.0}}},
+        size=1000).collect()}
+    assert set(base) == set(boosted)
+    for d in base:
+        assert abs(boosted[d] - 2 * base[d]) < 1e-9
+    # minimum_should_match=2 on a pure-should bool: only docs matching
+    # BOTH clauses survive == the must conjunction's doc set
+    two = {"bool": {"should": [{"match": {"content": "def"}},
+                               {"match": {"content": "buffer"}}],
+                    "minimum_should_match": 2}}
+    both = {"bool": {"must": [{"match": {"content": "def"}},
+                              {"match": {"content": "buffer"}}]}}
+    got = search(spark, dsl_index, two, size=10000).collect()
+    want = search(spark, dsl_index, both, size=10000).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-9
+    # msm alongside a must base: result set shrinks to docs matching the
+    # should clause too, scores gain the should contribution
+    msm_must = {"bool": {"must": [{"match": {"content": "def"}}],
+                         "should": [{"match": {"content": "buffer"}}],
+                         "minimum_should_match": 1}}
+    got2 = {r.doc_id for r in search(spark, dsl_index, msm_must, size=10000).collect()}
+    assert got2 == {r.doc_id for r in want}
