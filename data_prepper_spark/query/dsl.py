@@ -312,3 +312,49 @@ def search(
     return topn.select(w.alias("rank"), "doc_id", "score").where(
         F.col("rank") > from_
     )
+
+
+def aggregations(
+    spark: SparkSession,
+    index_dir: str,
+    dsl: dict,
+    aggs: dict,
+) -> dict[str, DataFrame]:
+    """The DSL's ``aggs`` block: named aggregations over the FULL match
+    set of ``dsl`` (pre-pagination, like OpenSearch). Supported agg types
+    over docs-table fields:
+
+      {"<name>": {"terms": {"field": f, "size": n}}}  -> (f, doc_count)
+      {"<name>": {"stats": {"field": f}}}             -> (count, min, max, avg, sum)
+
+    The match set is computed once and reused across every agg (the plan
+    is shared; Spark caches nothing implicitly, but AQE reuses the
+    exchange when the aggs run in one action via the caller).
+    """
+    comp = _Compiler(spark, index_dir)
+    hits = comp.compile(dsl).select("doc_id")
+    docs = comp.io.read(spark, "docs")
+    out: dict[str, DataFrame] = {}
+    for name, spec in aggs.items():
+        kind, body = _leaf_body(spec)
+        field = body["field"]
+        matched = docs.join(hits, "doc_id", "left_semi")
+        if kind == "terms":
+            size = int(body.get("size", 10))
+            out[name] = (
+                matched.groupBy(field)
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy(F.desc("doc_count"), F.asc(field))
+                .limit(size)
+            )
+        elif kind == "stats":
+            out[name] = matched.agg(
+                F.count(field).alias("count"),
+                F.min(field).alias("min"),
+                F.max(field).alias("max"),
+                F.avg(field).alias("avg"),
+                F.sum(field).alias("sum"),
+            )
+        else:
+            raise ValueError(f"unsupported aggregation type: {kind}")
+    return out

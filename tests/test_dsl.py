@@ -149,3 +149,22 @@ def test_boost_and_minimum_should_match(spark, dsl_index):
                          "minimum_should_match": 1}}
     got2 = {r.doc_id for r in search(spark, dsl_index, msm_must, size=10000).collect()}
     assert got2 == {r.doc_id for r in want}
+
+
+def test_aggregations_over_match_set(spark, dsl_index):
+    from data_prepper_spark.query.dsl import aggregations
+    from data_prepper_spark.query.multiterm import facet_counts
+
+    dsl = {"match": {"content": "def return"}}
+    out = aggregations(
+        spark, dsl_index, dsl,
+        {"langs": {"terms": {"field": "lang", "size": 100}},
+         "lens": {"stats": {"field": "doc_len"}}},
+    )
+    got = {r["lang"]: r["doc_count"] for r in out["langs"].collect()}
+    # terms agg over a match query == the dedicated facet operator
+    want = {r["lang"]: r["doc_count"]
+            for r in facet_counts(spark, dsl_index, "def return", "lang").collect()}
+    assert got == want
+    st = out["lens"].collect()[0]
+    assert st["count"] == sum(want.values()) and st["min"] <= st["avg"] <= st["max"]
