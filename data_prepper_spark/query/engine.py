@@ -105,17 +105,32 @@ class IndexQueryEngine:
         """(rank int, doc_id long, score double) — block-max WAND per shard,
         TakeOrderedAndProject merge. One Spark job on the warm path."""
         if self._result_cache_size:
-            key = (query_text, k)
-            hit = self._result_cache.get(key)
-            if hit is not None:
-                self._result_cache.move_to_end(key)
-                return self.spark.createDataFrame(hit, self._TOPK_SCHEMA)
-            rows = self._topk_df(query_text, k).collect()
-            self._result_cache[key] = rows
-            if len(self._result_cache) > self._result_cache_size:
-                self._result_cache.popitem(last=False)
-            return self.spark.createDataFrame(rows, self._TOPK_SCHEMA)
+            return self.spark.createDataFrame(
+                self.topk_rows(query_text, k), self._TOPK_SCHEMA
+            )
         return self._topk_df(query_text, k)
+
+    def topk_rows(self, query_text: str, k: int = 10) -> list:
+        """Collected result rows, result cache consulted first — the
+        SERVING-path API. Measured floor on this class of host: even a
+        10-row LocalTableScan costs ~0.5 s per ``collect()`` (fixed
+        driver/job overhead), so a cache that returns a DataFrame can
+        never beat that floor; returning the cached rows directly makes a
+        hit cost zero Spark jobs (~microseconds). Requires
+        ``result_cache_size`` > 0; uncached engines compute and collect.
+        """
+        if not self._result_cache_size:
+            return self._topk_df(query_text, k).collect()
+        key = (query_text, k)
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            self._result_cache.move_to_end(key)
+            return hit
+        rows = self._topk_df(query_text, k).collect()
+        self._result_cache[key] = rows
+        if len(self._result_cache) > self._result_cache_size:
+            self._result_cache.popitem(last=False)
+        return rows
 
     def _topk_df(self, query_text: str, k: int) -> DataFrame:
         terms = sorted(set(tokenize_py(query_text)))

@@ -150,3 +150,22 @@ def test_engine_result_cache(spark, index_dir):
     # empty-result queries cache cleanly too
     assert eng.topk("qqqqxyzw", 3).collect() == []
     assert eng.topk("qqqqxyzw", 3).collect() == []
+
+
+def test_engine_topk_rows_serving_path(spark, index_dir):
+    """topk_rows: a cache hit returns rows with no Spark job; results
+    identical to the DataFrame path."""
+    import time
+
+    from data_prepper_spark.query.engine import IndexQueryEngine
+
+    eng = IndexQueryEngine(spark, index_dir, persist_blocks=False, result_cache_size=8)
+    want = eng.topk("def return value", 10).collect()
+    t0 = time.time()
+    rows = eng.topk_rows("def return value", 10)
+    dt = time.time() - t0
+    assert rows == want
+    assert dt < 0.05, dt  # hit must be job-free (sub-50ms even on a noisy host)
+    # uncached engine: topk_rows still computes correctly
+    plain = IndexQueryEngine(spark, index_dir, persist_blocks=False)
+    assert plain.topk_rows("def return value", 10) == want
