@@ -424,23 +424,37 @@ def resolved_table_path(index_dir: str, name: str) -> str:
     return TableIO(index_dir).rpath(name)
 
 
-def _gc_generations(io: TableIO) -> None:
-    """Delete every non-current generation directory of the versioned
-    tables (orphans from completed swaps or crashed refreshes). At design
-    scale this would honor a reader grace period / Iceberg snapshot
-    retention; in the parquet catalog the sandbox is single-process, and a
-    long-lived IndexQueryEngine pins the generation it was constructed on
-    (re-open after refresh, like a Lucene searcher)."""
+def _gc_generations(io: TableIO, retain: int | None = None) -> None:
+    """Garbage-collect old generation directories of the versioned tables,
+    honoring a reader grace period: the ``retain`` most recent COMMITTED
+    generations below the current one are kept (default 1, override with
+    env ``DPS_GC_RETAIN``), so an IndexQueryEngine (or any DataFrame plan)
+    constructed before a refresh keeps resolving its pinned paths until
+    re-opened — the Lucene open-searcher / Iceberg snapshot-retention
+    contract. Generations NEWER than the pointer are uncommitted debris
+    from crashed refreshes and are always deleted."""
     if io.catalog != "parquet" or not os.path.isdir(io.root):
         return
+    if retain is None:
+        retain = int(os.environ.get("DPS_GC_RETAIN", "1"))
     import shutil
 
     from ..tableio import GEN_TABLES
 
+    gens = io.gen_state()
     for base in GEN_TABLES:
-        cur = io.resolved(base)
+        cur = gens.get(base, 0)
         for d in os.listdir(io.root):
-            if (d == base or d.startswith(base + ".gen-")) and d != cur:
+            if d == base:
+                g = 0
+            elif d.startswith(base + ".gen-"):
+                try:
+                    g = int(d[len(base) + 5:])
+                except ValueError:
+                    continue
+            else:
+                continue
+            if g > cur or g < cur - retain:
                 shutil.rmtree(os.path.join(io.root, d), ignore_errors=True)
 
 
@@ -943,13 +957,19 @@ def refresh_index(
         blocks_table=pb_target, dict_table=f"dictionary.gen-{d_gen}",
         partitions=_dict_partitions(n_shards),
     )
-    io.set_gen_state(posting_blocks=pb_gen, dictionary=d_gen)  # COMMIT POINT
-    _write_corpus_stats(spark, io, layered=0)
-    # ledger lineage, one append, 'done' rows last (latest-wins ties break
-    # on file order): 'invalidated' records WHY each canonical group
-    # re-ran; 'compacted' rows KEEP their original layered:<path>
-    # source_snapshot so a replayed add of the same batch recognizes
-    # itself as already ingested.
+    # ledger lineage BEFORE the pointer bump, one append, 'done' rows last
+    # (latest-wins ties break on file order): 'invalidated' records WHY
+    # each canonical group re-ran; 'compacted' rows KEEP their original
+    # layered:<path> source_snapshot so a replayed add of the same batch
+    # recognizes itself as already ingested. Pre-swap is the safe side of
+    # the crash window: if we die here, the OLD generation stays current
+    # and still physically contains every layered segment, so a replayed
+    # add_to_index seeing 'compacted' correctly no-ops (the docs are
+    # visible), and a re-run refresh sees the new 'done' group rows and
+    # keeps the group layout. The reverse order (swap first) had a window
+    # where a replay took the crash-retry reuse path and rewrote a
+    # segment's blocks into a generation whose canonical groups already
+    # contain those docs — duplicated postings, inflated scores.
     _ledger_append(
         io, spark,
         [("B", g, "invalidated", 0, 0, 0, 0, source_tag, CODE_VERSION) for g in range(shard_groups)]
@@ -960,5 +980,7 @@ def refresh_index(
         ]
         + [("B", g, "done", 0, 0, n, 0, source_tag, CODE_VERSION) for g, n in counts],
     )
+    io.set_gen_state(posting_blocks=pb_gen, dictionary=d_gen)  # COMMIT POINT
+    _write_corpus_stats(spark, io, layered=0)
     _gc_generations(io)
     return BuildResult(out_dir, n_docs, avgdl, n_shards)

@@ -85,6 +85,12 @@ def _iforest_scores(
     def rec(sample: np.ndarray, ev_idx: np.ndarray, depth: int) -> None:
         if ev_idx.size == 0:
             return
+        if len(sample) == 0:
+            # rng.uniform(lo, hi) can return exactly lo for tiny spans,
+            # leaving one side's sample empty while eval points still
+            # route there — treat it as an external node.
+            depths[ev_idx] += depth
+            return
         spans = sample.max(axis=0) - sample.min(axis=0)
         if depth >= depth_limit or len(sample) <= 1 or not (spans > 0).any():
             depths[ev_idx] += depth + _c_factor(len(sample))

@@ -131,6 +131,14 @@ def minhash_lsh_pairs(
     probability at the threshold is negligible (e.g. num_perm=32,
     bands=16: miss ~ (1 - s^2)^16 < 1e-7 at s = 0.8) the output equals
     the exact-Jaccard answer.
+
+    Interaction with ``max_bucket_size``: star edges emitted for oversized
+    buckets are exempt from the verification filter (they may carry a
+    jaccard below the threshold) — they exist to preserve bucket
+    connectivity for clustering consumers, and filtering them would break
+    it. Pair-level consumers wanting only >=threshold pairs should treat
+    the capped mode's output as a clustering edge list, not a similarity
+    listing.
     """
     rows_per_band = num_perm // bands
     sh = shingles(df, content_col, id_col, shingle_n)
@@ -189,7 +197,26 @@ def minhash_lsh_pairs(
             ranked.where((F.col("__sz") > max_bucket_size) & (F.col("id") != F.col("__rep")))
             .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
         )
-        pairs = full_pairs.unionByName(star_pairs).distinct()
+        # Star edges are CONNECTIVITY edges, not similarity claims: they must
+        # survive verification unconditionally or an oversized bucket's
+        # cluster falls apart whenever a rep-member jaccard dips below the
+        # threshold even though member-member pairs would have passed. Track
+        # the flag through dedup (a pair that is a star edge in ANY bucket
+        # stays exempt — max(bool) keeps it).
+        pairs = (
+            full_pairs.withColumn("__star", F.lit(False))
+            .unionByName(star_pairs.withColumn("__star", F.lit(True)))
+            .groupBy("id_a", "id_b")
+            .agg(F.max("__star").alias("__star"))
+        )
+        if verify_threshold is None:
+            return pairs.select("id_a", "id_b")
+        j = jaccard_on_pairs(pairs.select("id_a", "id_b"), sh)
+        return (
+            j.join(pairs, ["id_a", "id_b"])
+            .where((F.col("jaccard") >= verify_threshold) | F.col("__star"))
+            .select("id_a", "id_b", "jaccard")
+        )
     if verify_threshold is None:
         return pairs
     return jaccard_on_pairs(pairs, sh).where(F.col("jaccard") >= verify_threshold)

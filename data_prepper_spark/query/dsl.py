@@ -49,6 +49,37 @@ def _leaf_body(clause: dict) -> tuple[str, Any]:
     return next(iter(clause.items()))
 
 
+def _parse_msm(raw: Any, n_should: int) -> int:
+    """OpenSearch minimum_should_match forms -> required clause count.
+
+    Supports integers ("3"/3 = exactly that many), negative integers
+    (-n = total - n may be optional), and percentages ("75%" = floor of
+    75% of the clause count; "-25%" = total minus floor of 25%). The
+    result is clamped to [0, n_should]."""
+    if isinstance(raw, bool):
+        raise ValueError(f"invalid minimum_should_match: {raw!r}")
+    if isinstance(raw, int):
+        n = raw if raw >= 0 else n_should + raw
+    else:
+        s = str(raw).strip()
+        if s.endswith("%"):
+            try:
+                pct = float(s[:-1])
+            except ValueError:
+                raise ValueError(f"invalid minimum_should_match: {raw!r}") from None
+            part = int(abs(pct) * n_should / 100.0)  # rounded down
+            n = part if pct >= 0 else n_should - part
+        else:
+            try:
+                v = int(s)
+            except ValueError:
+                raise ValueError(
+                    f"unsupported minimum_should_match form: {raw!r}"
+                ) from None
+            n = v if v >= 0 else n_should + v
+    return max(0, min(n, n_should))
+
+
 class _Compiler:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -174,6 +205,12 @@ class _Compiler:
             return docs.select("doc_id")
         if kind == "term":
             field, value = _leaf_body(body)
+            if isinstance(value, dict):  # standard object form {"value": v}
+                if "value" not in value:
+                    raise ValueError(
+                        f"term object form must carry 'value': {value!r}"
+                    )
+                value = value["value"]
             return docs.where(F.col(field) == value).select("doc_id")
         if kind == "terms":
             field, values = _leaf_body(body)
@@ -236,7 +273,7 @@ class _Compiler:
             self._filter_leaf(*_leaf_body(c)) for c in body.get("filter", [])
         ]
         must_not = [self.compile(c) for c in body.get("must_not", [])]
-        msm = int(body.get("minimum_should_match", 0))
+        msm = _parse_msm(body.get("minimum_should_match", 0), len(should))
         if must:
             cur = must[0]
             for m in must[1:]:

@@ -64,6 +64,13 @@ class IndexQueryEngine:
             EXHAUSTIVE_THRESHOLD if exhaustive_threshold is None else exhaustive_threshold
         )
         self._dict_cache: dict[str, dict | None] = {}
+        # pin BOTH versioned tables to the generation current at
+        # construction (rpath resolves the pointer once): with the GC
+        # grace period (_gc_generations retain>=1) a refresh that bumps
+        # the pointer leaves this engine's snapshot readable until it is
+        # re-opened — resolving the dictionary per call would mix new-gen
+        # df/idf stats with old-gen blocks
+        self._dict_path = self.io.rpath("dictionary")
         self.blocks = self.io.read(spark, "posting_blocks")
         self._prepartitioned = persist_blocks
         if persist_blocks:
@@ -77,11 +84,16 @@ class IndexQueryEngine:
                 StorageLevel.MEMORY_AND_DISK
             )
 
+    def _dict_df(self) -> DataFrame:
+        if self.io.catalog == "parquet":
+            return self.spark.read.parquet(self._dict_path)
+        return self.io.read(self.spark, "dictionary")  # iceberg: snapshot commit
+
     def _term_stats(self, terms: list[str]) -> dict[str, dict]:
         missing = [t for t in terms if t not in self._dict_cache]
         if missing:
             rows = (
-                self.io.read(self.spark, "dictionary")
+                self._dict_df()
                 .where(F.col("term").isin(missing))
                 .select("term", "term_hash", "df", "max_wtf")
                 .collect()

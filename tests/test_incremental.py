@@ -224,11 +224,14 @@ def test_layered_add_then_compact(spark, corpus_dir, tmp_path):
     assert groups == ["group=0", "group=1"]  # layered segment dir compacted away
 
 
-def test_refresh_crash_leaves_old_index_queryable(spark, corpus_dir, tmp_path):
+def test_refresh_crash_leaves_old_index_queryable(spark, corpus_dir, tmp_path, monkeypatch):
     """Atomic refresh: a crash DURING refresh (stage B of the new
     generation) must leave the previous generation fully queryable with
     unchanged results — the generation-pointer swap is the commit point.
-    A re-run then completes and matches a clean build bit-identically."""
+    A re-run then completes and matches a clean build bit-identically.
+    (DPS_GC_RETAIN=0 disables the reader grace period so the stray-dir
+    assertion checks exact GC; retention has its own test.)"""
+    monkeypatch.setenv("DPS_GC_RETAIN", "0")
     s1, s2, full = _split_corpus(corpus_dir, tmp_path)
     idx = str(tmp_path / "idx_atomic")
     clean = str(tmp_path / "idx_clean_atomic")
