@@ -55,8 +55,13 @@ B = 0.75
 # silently mis-decode (the first varint byte read as a codec tag), so query
 # paths call check_index_compatibility() before touching blocks and fail with
 # a clear "rebuild required" instead.
-CODE_VERSION = "dps-0.2"
-COMPATIBLE_VERSIONS = frozenset({CODE_VERSION})
+# dps-0.3: layered adds write per-segment SIDE dictionaries
+# (posting_blocks/<gen>/_segdict/group=N) instead of re-merging the full
+# dictionary per micro-batch; query paths union base + segments. A 0.2
+# index (fully merged dictionary, no segdicts) reads identically under
+# 0.3, so both versions stay compatible.
+CODE_VERSION = "dps-0.3"
+COMPATIBLE_VERSIONS = frozenset({CODE_VERSION, "dps-0.2"})
 
 # blocks are keyed by xxhash64(term), not the term string: the Python
 # block encoder and the WAND kernel then touch only fixed-width int64
@@ -600,84 +605,46 @@ def _write_dictionary(
     mark("dictionary")
 
 
-def _merge_dictionary(
+def _write_segment_dictionary(
     spark: SparkSession,
     io: TableIO,
     new_posts: DataFrame,
     seg: int,
-    source_path: str,
     mark,
-    partitions: int = 8,
 ) -> None:
-    """Incremental dictionary maintenance for a layered add: aggregate ONLY
-    the new units' postings and merge df/cf into the existing dictionary —
-    a dictionary-sized outer join instead of the full-corpus postings
-    groupBy a rebuild costs, making the layered add O(new docs) end-to-end
-    (the Lucene analog: per-segment term dictionaries merged, never a
-    corpus re-aggregation).
+    """Per-segment SIDE dictionary for a layered add: aggregate ONLY the
+    new units' postings (O(new docs) — no join against, and no rewrite
+    of, the base dictionary) and store the result INSIDE the current
+    posting_blocks generation at ``_segdict/group=<seg>``. The underscore
+    prefix makes block scans ignore it, and living inside the generation
+    dir means it swaps and garbage-collects atomically with the blocks it
+    describes: refresh_index writes a fresh full dictionary into the next
+    generation and the segdicts vanish with the old one — no separate
+    cleanup step, no crash window where stale side stats survive a
+    compaction. Query paths union base + segments per term
+    (query/common.dict_df). This is the Lucene per-segment term
+    dictionary, with the merge deferred to the background compaction.
 
-    max_wtf becomes advisory while the index is layered: the merged value
-    is the max of bounds computed under different avgdls, but layered-index
-    kernels prune with avgdl-independent tf-only bounds (query/wand.py
-    _Cursor) and never read it; refresh_index rebuilds it exactly.
-
-    Idempotent via a stage-"D" ledger row per segment: the merged
-    dictionary is written to the NEXT generation dir, the D row records
-    that target, and the generation pointer bump is the commit point — a
-    crashed merge either re-runs against the still-current old dictionary
-    or just finishes the pointer bump.
+    max_wtf is advisory while the index is layered (bounds computed under
+    the segment's avgdl); layered kernels prune with avgdl-independent
+    tf-only bounds and never read it. Idempotent: a crash-retried add
+    reuses the segment id and overwrites the same directory.
     """
-    d_rows = [
-        r for r in _ledger_latest(io, spark)
-        if r["stage"] == "D" and r["state"] == "done" and int(r["unit_id"]) == seg
-    ]
-    gens = io.gen_state()
-    cur_gen = gens.get("dictionary", 0)
-    if d_rows:
-        want = int(str(d_rows[0]["source_snapshot"]).split(":", 2)[1])
-        if cur_gen < want and os.path.isdir(io.path(f"dictionary.gen-{want}")):
-            io.set_gen_state(dictionary=want)  # finish a crashed swap
-            _gc_generations(io)
-        mark("dictionary merge (already done)")
-        return
-    target_gen = cur_gen + 1
-    target = f"dictionary.gen-{target_gen}"
     seg_blocks = spark.read.parquet(io.rpath(f"posting_blocks/group={seg}"))
-    seg_ub = seg_blocks.groupBy("term_hash").agg(F.max("block_max_wtf").alias("new_max_wtf"))
-    new_dic = (
+    seg_ub = seg_blocks.groupBy("term_hash").agg(F.max("block_max_wtf").alias("max_wtf"))
+    dic = (
         dictionary_from_postings(new_posts)
         .withColumn("term_hash", F.xxhash64("term"))
         .join(seg_ub, "term_hash", "left")
     )
-    if io.exists("dictionary"):
-        old = io.read(spark, "dictionary")
-    else:
-        # first-ever segment (layered streaming from an empty dir): merge
-        # against an empty dictionary
-        old = spark.createDataFrame(
-            [], "term string, df long, cf long, term_hash long, max_wtf double"
-        )
-    merged = (
-        old.alias("o")
-        .join(new_dic.alias("n"), F.col("o.term") == F.col("n.term"), "full_outer")
-        .select(
-            F.coalesce("o.term", "n.term").alias("term"),
-            (F.coalesce("o.df", F.lit(0)) + F.coalesce("n.df", F.lit(0))).alias("df"),
-            (F.coalesce("o.cf", F.lit(0)) + F.coalesce("n.cf", F.lit(0))).alias("cf"),
-            F.coalesce("o.term_hash", "n.term_hash").alias("term_hash"),
-            F.greatest(
-                F.coalesce("o.max_wtf", F.lit(0.0)), F.coalesce("n.new_max_wtf", F.lit(0.0))
-            ).alias("max_wtf"),
-        )
+    (
+        dic.repartition(1)
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#term", "true")
+        .parquet(io.rpath(f"posting_blocks/_segdict/group={seg}"))
     )
-    _commit_dict_df(spark, io, merged, target, partitions)
-    _ledger_append(
-        io, spark,
-        [("D", seg, "done", 0, 0, 0, 0, f"dictgen:{target_gen}:{source_path}", CODE_VERSION)],
-    )
-    io.set_gen_state(dictionary=target_gen)  # commit point
-    _gc_generations(io)
-    mark("dictionary merge")
+    mark("segment dictionary")
 
 
 def build_index(
@@ -878,15 +845,14 @@ def _layered_segment(
     blocks.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").option(
         "parquet.bloom.filter.enabled#term_hash", "true"
     ).partitionBy("shard").parquet(io.rpath(f"posting_blocks/group={seg}"))
+    # side dictionary BEFORE the ledger commit row: once the 'done' row
+    # lands the segment is fully searchable, stats included
+    _write_segment_dictionary(spark, io, new_posts, seg, _mark)
     _ledger_append(
         io, spark,
         [("B", seg, "done", 0, 0, int(obs.get["n"]), 0, lay_tag, CODE_VERSION)],
     )
     _mark(f"layered segment {seg}")
-    _merge_dictionary(
-        spark, io, new_posts, seg, source_path, _mark,
-        partitions=_dict_partitions(n_shards),
-    )
     return BuildResult(out_dir, n_docs, avgdl, n_shards)
 
 

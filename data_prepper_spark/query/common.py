@@ -40,6 +40,43 @@ def load_stats_full(spark: SparkSession, io: TableIO) -> tuple[int, float, int]:
     return int(r["n_docs"]), float(r["avgdl"]), layered
 
 
+def segdict_path(io: TableIO) -> str | None:
+    """Current generation's layered-segment side-dictionary dir
+    (index/build.py _write_segment_dictionary), or None when the index is
+    fully merged."""
+    import os
+
+    p = io.rpath("posting_blocks/_segdict")
+    return p if os.path.isdir(p) else None
+
+
+def dict_df(spark: SparkSession, io: TableIO):
+    """The LOGICAL dictionary: base dictionary unioned with every layered
+    segment's side dictionary, aggregated per term (df/cf sum across
+    segments, a term's hash is identical everywhere). On a merged index
+    this is exactly the base scan — zero overhead; with layered segments
+    it adds one small union + per-term aggregation over term-pruned
+    scans. All dictionary readers go through here so NRT segments are
+    visible to term stats, multi-term expansion, and join-order hints."""
+    base = io.read(spark, "dictionary") if io.exists("dictionary") else None
+    seg = segdict_path(io)
+    if seg is None:
+        if base is None:
+            return spark.createDataFrame(
+                [], "term string, df long, cf long, term_hash long, max_wtf double"
+            )
+        return base
+    cols = ["term", "df", "cf", "term_hash", "max_wtf"]
+    sdf = spark.read.parquet(seg).select(*cols)
+    both = base.select(*cols).unionByName(sdf) if base is not None else sdf
+    return both.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.max("term_hash").alias("term_hash"),
+        F.max("max_wtf").alias("max_wtf"),
+    )
+
+
 def query_term_stats(
     spark: SparkSession, io: TableIO, terms: list[str], n_docs: int
 ) -> dict[str, dict]:
@@ -51,7 +88,7 @@ def query_term_stats(
     if not terms:
         return {}
     rows = (
-        io.read(spark, "dictionary")
+        dict_df(spark, io)
         .where(F.col("term").isin(terms))
         .select("term", "term_hash", "df", "max_wtf")
         .collect()

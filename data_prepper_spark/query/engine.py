@@ -69,8 +69,16 @@ class IndexQueryEngine:
         # grace period (_gc_generations retain>=1) a refresh that bumps
         # the pointer leaves this engine's snapshot readable until it is
         # re-opened — resolving the dictionary per call would mix new-gen
-        # df/idf stats with old-gen blocks
-        self._dict_path = self.io.rpath("dictionary")
+        # df/idf stats with old-gen blocks. Layered segment side
+        # dictionaries live INSIDE the pinned blocks generation, so the
+        # same snapshot covers them.
+        import os as _os
+
+        self._dict_path = (
+            self.io.rpath("dictionary") if self.io.exists("dictionary") else None
+        )
+        _seg = self.io.rpath("posting_blocks/_segdict")
+        self._segdict_path = _seg if _os.path.isdir(_seg) else None
         self.blocks = self.io.read(spark, "posting_blocks")
         self._prepartitioned = persist_blocks
         if persist_blocks:
@@ -85,9 +93,33 @@ class IndexQueryEngine:
             )
 
     def _dict_df(self) -> DataFrame:
-        if self.io.catalog == "parquet":
-            return self.spark.read.parquet(self._dict_path)
-        return self.io.read(self.spark, "dictionary")  # iceberg: snapshot commit
+        if self.io.catalog != "parquet":
+            from .common import dict_df
+
+            return dict_df(self.spark, self.io)  # iceberg: snapshot commit
+        cols = ["term", "df", "cf", "term_hash", "max_wtf"]
+        base = (
+            self.spark.read.parquet(self._dict_path).select(*cols)
+            if self._dict_path is not None
+            else None
+        )
+        if self._segdict_path is None:
+            if base is None:
+                return self.spark.createDataFrame(
+                    [], "term string, df long, cf long, term_hash long, max_wtf double"
+                )
+            return base
+        seg = self.spark.read.parquet(self._segdict_path).select(*cols)
+        return (
+            (base.unionByName(seg) if base is not None else seg)
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("term_hash").alias("term_hash"),
+                F.max("max_wtf").alias("max_wtf"),
+            )
+        )
 
     def _term_stats(self, terms: list[str]) -> dict[str, dict]:
         missing = [t for t in terms if t not in self._dict_cache]

@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 from ..analyzer import tokenize_py, tokens_col
 from ..tableio import TableIO
 from ..util import spread
-from .common import B, K1, load_stats
+from .common import B, K1, dict_df, load_stats
 
 
 def _expand_terms(
@@ -34,7 +34,7 @@ def _expand_terms(
     a 10^8-term dictionary; Lucene caps at 1024 by default for the same
     reason)."""
     rows = (
-        io.read(spark, "dictionary")
+        dict_df(spark, io)
         .where(pred)
         .select("term", "df")
         .orderBy(F.asc("df"), F.asc("term"))
@@ -301,7 +301,7 @@ def more_like_this(
         return spark.createDataFrame([], "rank int, doc_id long, score double")
     tf_by_term = {r["term"]: int(r["tf"]) for r in doc_terms}
     dic = (
-        io.read(spark, "dictionary")
+        dict_df(spark, io)
         .where(F.col("term").isin(list(tf_by_term)))
         .select("term", "df")
         .collect()

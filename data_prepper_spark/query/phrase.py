@@ -158,15 +158,16 @@ def phrase_docs(
     empty = "doc_id long, n_matches int"
     if not terms:
         return spark.createDataFrame([], empty)
+    from .common import dict_df
+
     df_by_term: dict[str, int] = {}
-    if io.exists("dictionary"):
-        rows = (
-            io.read(spark, "dictionary")
-            .where(F.col("term").isin(sorted(set(terms))))
-            .select("term", "df")
-            .collect()
-        )
-        df_by_term = {r["term"]: int(r["df"]) for r in rows}
+    rows = (
+        dict_df(spark, io)
+        .where(F.col("term").isin(sorted(set(terms))))
+        .select("term", "df")
+        .collect()
+    )
+    df_by_term = {r["term"]: int(r["df"]) for r in rows}
     join_order = sorted(
         range(len(terms)), key=lambda j: (df_by_term.get(terms[j], 1 << 60), j)
     )

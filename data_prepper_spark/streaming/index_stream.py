@@ -48,18 +48,18 @@ def index_stream_writer(
         refresh_index(spark, out)
 
     ``layered=True`` is the true NRT mode: each micro-batch additionally
-    writes its own layered block segment and merges the dictionary
-    (index/build.py _layered_segment — O(batch docs) work), so new docs
-    are SEARCHABLE as soon as their batch commits, with no refresh in the
-    loop. Query kernels run with avgdl-independent tf-only pruning bounds
+    writes its own layered block segment plus a per-segment SIDE
+    dictionary (index/build.py _layered_segment — O(batch docs) work, the
+    base dictionary is never rewritten), so new docs are SEARCHABLE as
+    soon as their batch commits, with no refresh in the loop. Query kernels run with avgdl-independent tf-only pruning bounds
     while layered segments exist; ``refresh_index`` later compacts many
     micro-batch segments into the canonical groups and restores the
     tightest bounds — exactly Lucene's NRT-segments-then-background-merge
     economics. Replayed batches (at-least-once delivery) are absorbed by
     the same ledger idempotency the batch layered add uses: the segment
-    keyed by the batch's source tag is reused and overwritten
-    byte-identically, and the dictionary merge is guarded by its stage-D
-    ledger row.
+    keyed by the batch's source tag is reused and its blocks AND side
+    dictionary overwritten byte-identically before the single ledger
+    commit row lands.
     """
     io = TableIO(out_dir)
 

@@ -275,40 +275,55 @@ def test_refresh_crash_leaves_old_index_queryable(spark, corpus_dir, tmp_path, m
 
 def test_layered_add_idempotent_and_merged_dictionary(spark, corpus_dir, tmp_path):
     """Layered adds must be replay-safe (same batch re-added => bit-identical
-    index, layered count stays 1) and the MERGED dictionary (O(new docs)
-    aggregation + dictionary-sized join, no full-postings rebuild) must
-    carry exactly the df/cf/term_hash a clean full build computes."""
+    index, layered count stays 1) and the LOGICAL dictionary (base + the
+    segment's SIDE dictionary, O(new docs) — the base is never rewritten)
+    must carry exactly the df/cf/term_hash a clean full build computes."""
+    import os as _os
+
+    from data_prepper_spark.query.common import dict_df
+    from data_prepper_spark.tableio import TableIO
+
     s1, s2, full = _split_corpus(corpus_dir, tmp_path)
     idx = str(tmp_path / "idx_lay_idem")
     clean = str(tmp_path / "idx_clean_lay")
     build_index(spark, s1, idx, n_shards=8, units=1, shard_groups=2)
+    base_dict_mtime = _os.path.getmtime(resolved_table_path(idx, "dictionary"))
     add_to_index(spark, s2, idx, n_shards=8, units=1, remerge=False)
+    # the base dictionary was NOT rewritten (O(new docs) contract)
+    assert _os.path.getmtime(resolved_table_path(idx, "dictionary")) == base_dict_mtime
+    # the side dictionary lives inside the blocks generation
+    assert _os.path.isdir(
+        _os.path.join(resolved_table_path(idx, "posting_blocks"), "_segdict")
+    )
+
+    dexpr = "bit_xor(xxhash64(term, term_hash, df, cf))"
+
+    def logical_dict_hash(path):
+        return (
+            dict_df(spark, TableIO(path))
+            .selectExpr(dexpr)
+            .collect()[0][0]
+        )
 
     def snap():
         b = _chk(
             spark, resolved_table_path(idx, "posting_blocks"),
             "bit_xor(xxhash64(term_hash, shard, block_id, first_doc_id, n_docs, doc_gaps, tfs, dls))",
         )
-        d = _chk(
-            spark, resolved_table_path(idx, "dictionary"),
-            "bit_xor(xxhash64(term, term_hash, df, cf))",
-        )
+        d = logical_dict_hash(idx)
         s = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
         return (b, d, s["n_docs"], s["avgdl"], s["layered"])
 
     first = snap()
     assert first[4] == 1
-    # replay the same batch: stage A skipped, segment overwritten
-    # identically, dictionary NOT merged twice
+    # replay the same batch: stage A skipped, segment + side dictionary
+    # overwritten identically
     add_to_index(spark, s2, idx, n_shards=8, units=1, remerge=False)
     assert snap() == first
-    # merged dictionary df/cf/term_hash == clean full build's (max_wtf is
+    # logical dictionary df/cf/term_hash == clean full build's (max_wtf is
     # advisory while layered — kernels use tf-only bounds — so excluded)
     build_index(spark, full, clean, n_shards=8, units=2, shard_groups=2)
-    dexpr = "bit_xor(xxhash64(term, term_hash, df, cf))"
-    assert _chk(spark, resolved_table_path(idx, "dictionary"), dexpr) == _chk(
-        spark, resolved_table_path(clean, "dictionary"), dexpr
-    )
+    assert logical_dict_hash(idx) == logical_dict_hash(clean)
     # replay after compaction must also be a no-op (no duplicate segment)
     refresh_index(spark, idx)
     post_refresh = _chk(
