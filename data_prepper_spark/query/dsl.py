@@ -5,12 +5,14 @@ this compiler lets them run the common shapes directly against the native
 index. Supported (the working subset of a log/code-search deployment):
 
   {"match":        {"content": "tokens ..."}}                (scoring)
+  {"multi_match":  {"query": "...", "fields": ["content^2"]}} (scoring)
   {"match_phrase": {"content": {"query": "...", "slop": n}}} (scoring)
   {"prefix":       {"content": "pre"}}                       (scoring)
   {"fuzzy":        {"content": {"value": "term", "fuzziness": n}}} (scoring)
   {"term":  {"<docs attr>": value}}                          (filter)
   {"terms": {"<docs attr>": [v1, v2]}}                       (filter)
   {"range": {"<docs attr>": {"gt"/"gte"/"lt"/"lte": v}}}     (filter)
+  {"exists": {"field": f}} / {"ids": {"values": [...]}}      (filter)
   {"match_all": {}}                                          (filter)
   {"bool": {"must": [...], "should": [...],
             "must_not": [...], "filter": [...]}}
@@ -31,6 +33,7 @@ dictionary lookups.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -188,6 +191,34 @@ class _Compiler:
             )
             terms = _expand_terms(self.spark, self.io, pred, 64)
             return self._score_terms(terms) if terms else None
+        if kind == "multi_match":
+            # flat body: {"query": q, "fields": ["content", "content^2"],
+            # "type": "best_fields"|"most_fields"}. The engine indexes one
+            # text field, so every entry must be content (optionally
+            # boosted); best_fields takes the max boost, most_fields sums.
+            if not isinstance(body, dict) or "query" not in body:
+                raise ValueError("multi_match needs {'query': ..., 'fields': [...]}")
+            fields = body.get("fields", ["content"])
+            parsed = []
+            for f in fields:
+                name, _, b = f.partition("^")
+                self._require_content(name, kind)
+                parsed.append(float(b) if b else 1.0)
+            if not parsed:
+                raise ValueError("multi_match needs at least one field")
+            mtype = body.get("type", "best_fields")
+            if mtype == "most_fields":
+                factor = sum(parsed)
+            elif mtype == "best_fields":
+                factor = max(parsed)
+            else:
+                raise ValueError(f"unsupported multi_match type: {mtype}")
+            scored = self._score_terms(tokenize_py(body["query"]))
+            if scored is None or factor == 1.0:
+                return scored
+            return scored.select(
+                "doc_id", (F.col("score") * factor).alias("score")
+            )
         raise ValueError(f"unsupported scoring clause: {kind}")
 
     def _require_content(self, field: str, kind: str) -> None:
@@ -222,10 +253,18 @@ class _Compiler:
             for op, v in bounds.items():
                 c = c & getattr(F.col(field), ops[op])(v)
             return docs.where(c).select("doc_id")
+        if kind == "exists":
+            field = body["field"] if isinstance(body, dict) else body
+            return docs.where(F.col(field).isNotNull()).select("doc_id")
+        if kind == "ids":
+            values = body["values"] if isinstance(body, dict) else body
+            return docs.where(
+                F.col("doc_id").isin([int(v) for v in values])
+            ).select("doc_id")
         raise ValueError(f"unsupported filter clause: {kind}")
 
     def _is_filter(self, kind: str) -> bool:
-        return kind in ("term", "terms", "range", "match_all")
+        return kind in ("term", "terms", "range", "match_all", "exists", "ids")
 
     # ---------------------------------------------------------- combiner --
     def compile(self, dsl: dict) -> DataFrame:
@@ -331,6 +370,147 @@ class _Compiler:
         return cur
 
 
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _sql_lit(v: Any) -> str | None:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
+def _filters_to_sql(filters: list[dict]) -> str | None:
+    """Compile pure filter clauses to ONE docs-table SQL predicate for
+    bm25_topk_filtered; None = a clause is outside the routable subset."""
+    parts: list[str] = []
+    for c in filters:
+        kind, body = _leaf_body(c)
+        if kind == "match_all":
+            parts.append("true")
+            continue
+        if kind not in ("term", "terms", "range"):
+            return None
+        field, val = _leaf_body(body)
+        if not _IDENT.match(field):
+            return None
+        if kind == "term":
+            if isinstance(val, dict):
+                val = val.get("value")
+            lit = _sql_lit(val)
+            if lit is None:
+                return None
+            parts.append(f"{field} = {lit}")
+        elif kind == "terms":
+            lits = [_sql_lit(v) for v in val]
+            if any(x is None for x in lits) or not lits:
+                return None
+            parts.append(f"{field} IN ({', '.join(lits)})")
+        else:  # range
+            ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+            for op, v in val.items():
+                lit = _sql_lit(v)
+                if op not in ops or lit is None:
+                    return None
+                parts.append(f"{field} {ops[op]} {lit}")
+    return " AND ".join(parts) if parts else "true"
+
+
+def _route_indexed(
+    spark: SparkSession, index_dir: str, dsl: dict, k: int
+) -> DataFrame | None:
+    """Single-scoring-leaf fast path: when the query is one match /
+    match_phrase / prefix / fuzzy / wildcard / regexp leaf (optionally
+    wrapped in a bool with pure filter siblings), dispatch to the
+    dedicated indexed operator — block-max WAND over posting_blocks for
+    match, the positions-table phrase scorer, the dictionary-rewrite
+    multi-term family — instead of compiling the generic full postings
+    aggregate. Scoring is identical (test_dsl.py equivalence suite);
+    only the physical plan changes. Returns None when the shape is not
+    routable and the general compiler should run."""
+    from .bm25 import bm25_topk_filtered
+    from .wand import bm25_topk_wand
+
+    kind, body = _leaf_body(dsl)
+    filters: list[dict] = []
+    if kind == "bool":
+        if set(body) - {"must", "filter"}:
+            return None
+        must = body.get("must", [])
+        filters = list(body.get("filter", []))
+        if len(must) != 1:
+            return None
+        kind, body = _leaf_body(must[0])
+    boost = 1.0
+    if isinstance(body, dict) and len(body) == 1:
+        _f, spec = _leaf_body(body)
+        if isinstance(spec, dict) and "boost" in spec:
+            boost = float(spec["boost"])
+    out = None
+    if kind == "match":
+        field, spec = _leaf_body(body)
+        if field != "content":
+            return None
+        if isinstance(spec, dict):
+            if set(spec) - {"query", "boost"}:
+                return None
+            text = spec["query"]
+        else:
+            text = spec
+        if filters:
+            pred = _filters_to_sql(filters)
+            if pred is None:
+                return None
+            out = bm25_topk_filtered(spark, index_dir, text, pred, k=k)
+        else:
+            out = bm25_topk_wand(spark, index_dir, text, k=k)
+    elif not filters and kind == "match_phrase":
+        from ..tableio import TableIO
+        from .phrase import phrase_topk
+
+        if not TableIO(index_dir).exists("positions"):
+            return None  # compiler raises the documented error
+        field, spec = _leaf_body(body)
+        if field != "content":
+            return None
+        if isinstance(spec, dict):
+            if set(spec) - {"query", "slop", "boost"}:
+                return None
+            text, slop = spec["query"], int(spec.get("slop", 0))
+        else:
+            text, slop = spec, 0
+        out = phrase_topk(spark, index_dir, text, k=k, proximity=True, slop=slop)
+    elif not filters and kind in ("prefix", "wildcard", "regexp", "fuzzy"):
+        from . import multiterm as mt
+
+        field, spec = _leaf_body(body)
+        if field != "content":
+            return None
+        allowed = {"value", "boost"} | ({"fuzziness"} if kind == "fuzzy" else set())
+        if isinstance(spec, dict):
+            if set(spec) - allowed:
+                return None
+            value = spec["value"]
+        else:
+            value = spec
+        if kind == "prefix":
+            out = mt.prefix_topk(spark, index_dir, value, k=k)
+        elif kind == "wildcard":
+            out = mt.wildcard_topk(spark, index_dir, value, k=k)
+        elif kind == "regexp":
+            out = mt.regexp_topk(spark, index_dir, value, k=k)
+        else:
+            max_edits = int(spec.get("fuzziness", 1)) if isinstance(spec, dict) else 1
+            out = mt.fuzzy_topk(spark, index_dir, value, max_edits=max_edits, k=k)
+    if out is None:
+        return None
+    score = (F.col("score") * boost).alias("score") if boost != 1.0 else F.col("score")
+    return out.select("rank", "doc_id", score)
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -340,7 +520,14 @@ def search(
 ) -> DataFrame:
     """(rank, doc_id, score) for an OpenSearch-DSL query dict against the
     native index, ordered (score desc, doc_id asc), paginated by
-    ``from_``/``size`` — rank is absolute (1-based over the full order)."""
+    ``from_``/``size`` — rank is absolute (1-based over the full order).
+
+    Single-leaf queries route to the dedicated indexed operators
+    (_route_indexed); everything else compiles to the general DataFrame
+    program."""
+    routed = _route_indexed(spark, index_dir, dsl, from_ + size)
+    if routed is not None:
+        return routed.where(F.col("rank") > from_)
     full = _Compiler(spark, index_dir).compile(dsl)
     topn = full.orderBy(F.desc("score"), F.asc("doc_id")).limit(from_ + size)
     w = F.row_number().over(
@@ -363,6 +550,9 @@ def aggregations(
 
       {"<name>": {"terms": {"field": f, "size": n}}}  -> (f, doc_count)
       {"<name>": {"stats": {"field": f}}}             -> (count, min, max, avg, sum)
+      {"<name>": {"range": {"field": f, "ranges": [...]}}} -> (key, from, to, doc_count)
+      {"<name>": {"histogram": {"field": f, "interval": n}}} -> (key, doc_count)
+      {"<name>": {"date_histogram": {"field": f, "calendar_interval": u}}} -> (key, doc_count)
 
     The match set is computed once and reused across every agg (the plan
     is shared; Spark caches nothing implicitly, but AQE reuses the
@@ -391,6 +581,98 @@ def aggregations(
                 F.max(field).alias("max"),
                 F.avg(field).alias("avg"),
                 F.sum(field).alias("sum"),
+            )
+        elif kind == "range":
+            # {"field": f, "ranges": [{"to": x}, {"from": a, "to": b},
+            # {"from": y}]} -> (key, from, to, doc_count); OpenSearch
+            # semantics: from inclusive, to exclusive, ranges may overlap
+            # (a doc counts in every range it falls into), empty ranges
+            # report doc_count 0. One scan: explode the per-doc matched
+            # range keys, then a broadcast left join keeps empty ranges.
+            ranges = body.get("ranges", [])
+            if not ranges:
+                raise ValueError("range aggregation needs 'ranges'")
+            col = F.col(field).cast("double")
+            specs = []
+            for r in ranges:
+                lo = float(r["from"]) if "from" in r else None
+                hi = float(r["to"]) if "to" in r else None
+                key = r.get(
+                    "key",
+                    f"{'*' if lo is None else lo}-{'*' if hi is None else hi}",
+                )
+                specs.append((key, lo, hi))
+            conds = [
+                F.when(
+                    (F.lit(True) if lo is None else (col >= lo))
+                    & (F.lit(True) if hi is None else (col < hi)),
+                    F.lit(key),
+                )
+                for key, lo, hi in specs
+            ]
+            counted = (
+                matched.select(F.explode(F.array(*conds)).alias("key"))
+                .where(F.col("key").isNotNull())
+                .groupBy("key")
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+            )
+            rdf = spark.createDataFrame(specs, "key string, from double, to double")
+            out[name] = (
+                rdf.join(F.broadcast(counted), "key", "left")
+                .select(
+                    "key", "from", "to",
+                    F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+                )
+                .orderBy(F.asc_nulls_first("from"), "key")
+            )
+        elif kind == "histogram":
+            # {"field": f, "interval": n} -> (key, doc_count), key = bucket
+            # lower bound; empty buckets omitted (min_doc_count >= 1)
+            interval = float(body["interval"])
+            key = (F.floor(F.col(field).cast("double") / interval) * interval).alias("key")
+            out[name] = (
+                matched.where(F.col(field).isNotNull())
+                .groupBy(key)
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy("key")
+            )
+        elif kind == "date_histogram":
+            # {"field": f, "calendar_interval": "day"} (or fixed_interval
+            # "1h"/"30m"/"1d") -> (key timestamp, doc_count), bucket =
+            # date_trunc; the field must cast to timestamp
+            cal = body.get("calendar_interval")
+            if cal is not None:
+                units = {
+                    "second": "second", "minute": "minute", "hour": "hour",
+                    "day": "day", "week": "week", "month": "month",
+                    "quarter": "quarter", "year": "year",
+                }
+                if cal not in units:
+                    raise ValueError(f"unsupported calendar_interval: {cal}")
+                key = F.date_trunc(units[cal], F.col(field).cast("timestamp"))
+            else:
+                fixed = body.get("fixed_interval")
+                if fixed is None:
+                    raise ValueError(
+                        "date_histogram needs calendar_interval or fixed_interval"
+                    )
+                m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", fixed)
+                if not m:
+                    raise ValueError(f"unsupported fixed_interval: {fixed}")
+                millis = int(m.group(1)) * {
+                    "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000
+                }[m.group(2)]
+                epoch_ms = (
+                    F.col(field).cast("timestamp").cast("double") * 1000
+                ).cast("long")
+                key = F.timestamp_millis(
+                    (F.floor(epoch_ms / millis) * millis).cast("long")
+                )
+            out[name] = (
+                matched.where(F.col(field).isNotNull())
+                .groupBy(key.alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .orderBy("key")
             )
         else:
             raise ValueError(f"unsupported aggregation type: {kind}")

@@ -168,3 +168,106 @@ def test_aggregations_over_match_set(spark, dsl_index):
     assert got == want
     st = out["lens"].collect()[0]
     assert st["count"] == sum(want.values()) and st["min"] <= st["avg"] <= st["max"]
+
+
+def test_multi_match_content_variants(spark, dsl_index):
+    base = search(spark, dsl_index, {"match": {"content": "def buffer"}}, size=50).collect()
+    mm = search(spark, dsl_index, {"multi_match": {"query": "def buffer",
+                                                   "fields": ["content"]}}, size=50).collect()
+    # match routes to the WAND kernel, multi_match to the compiler: same
+    # answer, summation order differs -> compare at 1e-6
+    assert [(r.rank, r.doc_id, round(r.score, 6)) for r in mm] == [
+        (r.rank, r.doc_id, round(r.score, 6)) for r in base
+    ]
+    best = search(spark, dsl_index, {"multi_match": {"query": "def buffer",
+                                                     "fields": ["content^2", "content"]}},
+                  size=50).collect()
+    for a, b in zip(best, base):
+        assert (a.rank, a.doc_id) == (b.rank, b.doc_id)
+        assert abs(a.score - 2 * b.score) < 1e-6
+    most = search(spark, dsl_index, {"multi_match": {"query": "def buffer",
+                                                     "fields": ["content^2", "content"],
+                                                     "type": "most_fields"}},
+                  size=50).collect()
+    for a, b in zip(most, base):
+        assert abs(a.score - 3 * b.score) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="content"):
+        search(spark, dsl_index, {"multi_match": {"query": "x", "fields": ["path"]}})
+
+
+def test_exists_and_ids_filters(spark, dsl_index):
+    # exists on an always-present attr == match_all-filtered search
+    want = search(spark, dsl_index,
+                  {"bool": {"must": [{"match": {"content": "def return"}}],
+                            "filter": [{"match_all": {}}]}}, size=20).collect()
+    got = search(spark, dsl_index,
+                 {"bool": {"must": [{"match": {"content": "def return"}}],
+                           "filter": [{"exists": {"field": "lang"}}]}}, size=20).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    # ids filter restricts to the given doc ids, scores unchanged
+    keep = [want[0].doc_id, want[2].doc_id]
+    ids = search(spark, dsl_index,
+                 {"bool": {"must": [{"match": {"content": "def return"}}],
+                           "filter": [{"ids": {"values": keep}}]}}, size=20).collect()
+    assert [r.doc_id for r in ids] == sorted(
+        keep, key=lambda d: [w.rank for w in want if w.doc_id == d][0]
+    )
+    by_doc = {w.doc_id: w.score for w in want}
+    for r in ids:
+        assert abs(r.score - by_doc[r.doc_id]) < 1e-9
+
+
+def test_range_histogram_aggs(spark, dsl_index):
+    from data_prepper_spark.query.dsl import aggregations
+
+    dsl = {"match": {"content": "def"}}
+    aggs = aggregations(spark, dsl_index, dsl, {
+        "len_ranges": {"range": {"field": "doc_len",
+                                 "ranges": [{"to": 50}, {"from": 50, "to": 200},
+                                            {"from": 200}]}},
+        "len_hist": {"histogram": {"field": "doc_len", "interval": 100}},
+    })
+    docs = spark.read.parquet(f"{dsl_index}/docs")
+    hits = search(spark, dsl_index, dsl, size=10**6).select("doc_id")
+    matched = docs.join(hits, "doc_id", "left_semi").select("doc_len").collect()
+    lens = [r.doc_len for r in matched]
+    got_r = {r.key: r.doc_count for r in aggs["len_ranges"].collect()}
+    assert got_r["*-50.0"] == sum(1 for x in lens if x < 50)
+    assert got_r["50.0-200.0"] == sum(1 for x in lens if 50 <= x < 200)
+    assert got_r["200.0-*"] == sum(1 for x in lens if x >= 200)
+    got_h = {int(r.key): r.doc_count for r in aggs["len_hist"].collect()}
+    import collections
+
+    want_h = collections.Counter((x // 100) * 100 for x in lens)
+    assert got_h == dict(want_h)
+
+
+def test_date_histogram_agg(spark, tmp_path):
+    """date_histogram over a timestamp-castable attr: build a mini index
+    whose commit strings are ISO timestamps."""
+    from data_prepper_spark.index.build import build_index
+    from data_prepper_spark.query.dsl import aggregations
+
+    src = str(tmp_path / "dh_src")
+    rows = [
+        ("r", f"f{i}.py", f"2024-03-{10 + i % 3:02d}T0{i % 6}:30:00", "python",
+         f"def handler_{i}(): return {i}")
+        for i in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    idx = str(tmp_path / "dh_idx")
+    build_index(spark, src, idx, n_shards=4, units=1, shard_groups=1)
+    aggs = aggregations(spark, idx, {"match_all": {}}, {
+        "by_day": {"date_histogram": {"field": "commit", "calendar_interval": "day"}},
+        "by_6h": {"date_histogram": {"field": "commit", "fixed_interval": "6h"}},
+    })
+    by_day = {str(r.key)[:10]: r.doc_count for r in aggs["by_day"].collect()}
+    import collections
+
+    want = collections.Counter(r[2][:10] for r in rows)
+    assert by_day == dict(want)
+    assert sum(r.doc_count for r in aggs["by_6h"].collect()) == 12
