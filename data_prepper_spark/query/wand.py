@@ -11,6 +11,17 @@ The scan is pruned by ``term IN (...)`` pushed to parquet (blocks are
 written sorted by term within each shard partition), so a query touches
 only its terms' row groups in each shard.
 
+Shard-local kernel lineup (dispatched by _wand_shard):
+- exhaustive: decode-everything vectorized BM25 — fastest below
+  EXHAUSTIVE_THRESHOLD postings where pruning can't beat flat numpy;
+- blockmax (default above the threshold): vectorized block-granular
+  pruning over a doc-id interval partition (_blockmax_shard) — all-numpy,
+  degrades to ~exhaustive cost when score distributions leave nothing to
+  prune, and skips whole doc-id regions when they do;
+- pointer: the per-document Ding & Suel block-max WAND, kept as the
+  semantic reference and cross-check target (per-posting Python makes it
+  5-10x slower than the vectorized kernels at high df).
+
 Correctness guardrails (rank-identity vs the DataFrame path + oracle):
 - per-term upper bounds and block maxima are inflated by 1 + 1e-9 before
   pruning so float rounding can never prune a true top-k member;
@@ -269,6 +280,195 @@ def batch_exhaustive_shard(
     return out
 
 
+class _BlockMeta:
+    """Per-(term, segment) block metadata WITHOUT payload decode: the
+    block-granular view the vectorized kernel plans over. Same bounds
+    semantics as _Cursor (wtf = stored build-time bound, tf = avgdl-
+    independent recomputation for layered indexes)."""
+
+    __slots__ = ("idf", "firsts", "lasts", "ubs", "gaps", "tfs_b", "dls_b", "n_in_block")
+
+    def __init__(self, idf: float, bdf: pd.DataFrame, bounds: str):
+        b = bdf.sort_values("block_id")
+        self.idf = idf
+        self.firsts = b["first_doc_id"].to_numpy(np.int64)
+        self.n_in_block = b["n_docs"].to_numpy(np.int64)
+        self.gaps = b["doc_gaps"].tolist()
+        self.tfs_b = b["tfs"].tolist()
+        self.dls_b = b["dls"].tolist()
+        if bounds == "tf":
+            tf_max = b["block_max_tf"].to_numpy(np.float64)
+            ub = (tf_max * (K1 + 1)) / (tf_max + K1 * (1 - B))
+        else:
+            ub = b["block_max_wtf"].to_numpy(np.float64)
+        self.ubs = ub * idf * _UB_INFLATE
+        # conservative per-block last doc id: next block's first - 1 (>=
+        # the true last, so overlap tests only ever decode extra, never
+        # miss); final block is open-ended — int64 max, NOT a smaller
+        # sentinel: xxhash64 doc ids span the full int64 range, so any
+        # lower value can fall below a real doc id and zero the block's
+        # interval coverage
+        self.lasts = np.empty(len(self.firsts), dtype=np.int64)
+        if len(self.firsts) > 1:
+            self.lasts[:-1] = self.firsts[1:] - 1
+        self.lasts[-1] = _INF
+
+    def decode(self, bi: int, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, idf-scaled exact scores) of block ``bi``."""
+        n = int(self.n_in_block[bi])
+        docs = decode_doc_ids_payload(int(self.firsts[bi]), self.gaps[bi], n)
+        tf = decode_payload(self.tfs_b[bi], n).astype(np.float64)
+        dl = decode_payload(self.dls_b[bi], n).astype(np.float64)
+        return docs, self.idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+
+def _blockmax_shard(
+    groups: pd.DataFrame,
+    hstats: dict[int, dict],
+    avgdl: float,
+    k: int,
+    bounds: str = "wtf",
+) -> list[tuple[int, float]]:
+    """Vectorized block-max top-k: exact BM25 scores, block-granular
+    pruning, no per-document Python.
+
+    The per-document pointer WAND (kept below as ``_wand_shard_pointer``
+    for cross-checks) pays interpreted-Python cost per posting advance —
+    exactly where high-df queries live. This kernel works at BLOCK
+    granularity instead:
+
+    1. Doc-id space is partitioned into intervals at every block boundary
+       of every (term, segment) posting list. Within an interval, each
+       list contributes at most one block, so the interval's score upper
+       bound is the sum of the covering blocks' (inflated) block maxima —
+       computed for ALL intervals at once with a difference-array cumsum.
+    2. Intervals are processed in DESCENDING bound order in chunks: the
+       blocks overlapping a chunk are payload-decoded (cached — a block
+       spanning several intervals decodes once), restricted to the chunk's
+       intervals with one vectorized membership test, segment-summed per
+       doc, and merged into the running top-k.
+    3. After each chunk theta (the running k-th score, doc-asc ties kept)
+       rises, and every remaining interval whose bound cannot beat it is
+       dropped wholesale. Processing in bound order makes theta climb to
+       its final value almost immediately, so the tail of low-bound
+       intervals — the bulk of a Zipf posting list — is never decoded.
+
+    A doc lives in exactly one interval and, per (term, segment), in
+    exactly one block, so chunk results never overlap: per-doc sums are
+    complete the moment their interval is processed. Exactness matches
+    the exhaustive kernel (same scoring expression, same tie rules);
+    rank-identity is asserted in tests against both the DataFrame path
+    and the pointer kernel.
+    """
+    metas: list[_BlockMeta] = []
+    if "group" in groups.columns:
+        key_iter = ((th, bdf) for (th, _g), bdf in groups.groupby(["term_hash", "group"]))
+    else:
+        key_iter = groups.groupby("term_hash")
+    for th, bdf in key_iter:
+        st = hstats.get(int(th))
+        if st is not None:
+            metas.append(_BlockMeta(st["idf"], bdf, bounds))
+    if not metas:
+        return []
+    # ---- interval partition of doc-id space at all block boundaries
+    pts = np.unique(np.concatenate([m.firsts for m in metas]))
+    n_iv = len(pts)
+    # ---- per-interval upper-bound sums via difference array + cumsum
+    ub_diff = np.zeros(n_iv + 1, dtype=np.float64)
+    meta_si: list[np.ndarray] = []
+    meta_ei: list[np.ndarray] = []
+    for m in metas:
+        si = np.searchsorted(pts, m.firsts, side="left")  # firsts are in pts
+        ei = np.searchsorted(pts, m.lasts, side="right")  # first interval AFTER the block
+        meta_si.append(si)
+        meta_ei.append(ei)
+        np.add.at(ub_diff, si, m.ubs)
+        np.add.at(ub_diff, ei, -m.ubs)
+    # inflate against cumsum rounding (bound must never come out below the
+    # true sum); absolute epsilon keeps exact-zero tails prunable once
+    # theta is positive
+    ub_sum = np.cumsum(ub_diff[:-1]) * _UB_INFLATE + 1e-9
+    order = np.argsort(-ub_sum, kind="stable")
+
+    run_docs = np.empty(0, dtype=np.int64)
+    run_scores = np.empty(0, dtype=np.float64)
+    theta = -1.0
+    cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    member = np.zeros(n_iv, dtype=bool)
+    pending = order
+    chunk = 512  # small first chunk seeds theta before any pruning decision
+    while len(pending):
+        if chunk != 512:  # past the seed chunk: prune, then assess
+            if theta >= 0.0:
+                kept = pending[ub_sum[pending] > theta - _EPS]
+                if len(kept) == 0:
+                    break
+                # pruning ineffective (bounds are processed in descending
+                # order, so theta won't improve on the survivors either —
+                # e.g. a sparse rare term whose wide block spans blanket
+                # the doc space): finish in ONE vectorized pass instead of
+                # paying per-chunk merge overhead for nothing
+                if len(kept) > 0.6 * len(pending):
+                    chunk = len(kept)
+                pending = kept
+            else:
+                # k never filled from the highest-bound intervals: theta
+                # cannot prune anything — one pass over the rest
+                chunk = len(pending)
+        take = pending[:chunk]
+        pending = pending[chunk:]
+        chunk = max(chunk, 4096)
+        member[:] = False
+        member[take] = True
+        mcum = np.concatenate(([0], np.cumsum(member)))
+        doc_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        starts = pts[take]
+        for mi, m in enumerate(metas):
+            bi = np.searchsorted(m.firsts, starts, side="right") - 1
+            # the block preceding an interval start may end before it; the
+            # block AT an interval start always overlaps (firsts are pts)
+            valid = bi >= 0
+            np.logical_and(valid, m.lasts[np.maximum(bi, 0)] >= starts, out=valid)
+            si, ei = meta_si[mi], meta_ei[mi]
+            for b in np.unique(bi[valid]):
+                key = (mi, int(b))
+                hit = cache.get(key)
+                if hit is None:
+                    hit = cache[key] = m.decode(int(b), avgdl)
+                docs, scores = hit
+                if mcum[ei[b]] - mcum[si[b]] == ei[b] - si[b]:
+                    # every interval this block spans is in the chunk:
+                    # append whole arrays, skip the membership gather
+                    doc_parts.append(docs)
+                    score_parts.append(scores)
+                    continue
+                iv = np.searchsorted(pts, docs, side="right") - 1
+                mask = member[iv]
+                if mask.any():
+                    doc_parts.append(docs[mask])
+                    score_parts.append(scores[mask])
+        if not doc_parts:
+            continue
+        cd = np.concatenate(doc_parts)
+        cs = np.concatenate(score_parts)
+        co = np.argsort(cd, kind="stable")
+        cd, cs = cd[co], cs[co]
+        bnd = np.flatnonzero(np.concatenate(([True], cd[1:] != cd[:-1])))
+        run_docs = np.concatenate([run_docs, cd[bnd]])
+        run_scores = np.concatenate([run_scores, np.add.reduceat(cs, bnd)])
+        if len(run_docs) > k:
+            # keep top-k plus theta ties (doc-asc tiebreak stays exact)
+            boundary = run_scores[np.argpartition(-run_scores, k - 1)[:k]].min()
+            keep = run_scores >= boundary
+            run_docs, run_scores = run_docs[keep], run_scores[keep]
+            theta = boundary
+    sel = np.lexsort((run_docs, -run_scores))[:k]
+    return [(int(run_docs[i]), float(run_scores[i])) for i in sel]
+
+
+
 def _wand_shard(
     groups: pd.DataFrame,
     hstats: dict[int, dict],
@@ -276,13 +476,34 @@ def _wand_shard(
     k: int,
     exhaustive_threshold: int | None = None,
     bounds: str = "wtf",
+    kernel: str = "blockmax",
 ) -> list[tuple[int, float]]:
+    """Shard-local top-k dispatch: small posting sets take the exhaustive
+    kernel (theta can't prune enough to beat flat numpy); large ones take
+    the vectorized block-max kernel. ``kernel='pointer'`` selects the
+    per-document WAND (cross-check / reference implementation)."""
     # callers capture the threshold DRIVER-side and pass it through the
     # closure: executor workers re-import this module, so a patched module
     # global would silently not reach them
     thr = EXHAUSTIVE_THRESHOLD if exhaustive_threshold is None else exhaustive_threshold
     if int(groups["n_docs"].sum()) <= thr:
         return _exhaustive_shard(groups, hstats, avgdl, k)
+    if kernel == "blockmax":
+        return _blockmax_shard(groups, hstats, avgdl, k, bounds)
+    return _wand_shard_pointer(groups, hstats, avgdl, k, bounds)
+
+
+def _wand_shard_pointer(
+    groups: pd.DataFrame,
+    hstats: dict[int, dict],
+    avgdl: float,
+    k: int,
+    bounds: str = "wtf",
+) -> list[tuple[int, float]]:
+    """Per-document block-max WAND (Ding & Suel) — the classic pointer
+    kernel. Retained as the semantic reference for the vectorized
+    block-max kernel (rank-identity asserted in tests) and for A/B
+    benchmarking; the serving path uses _blockmax_shard."""
     # one cursor per (term, segment): the `group` partition column is the
     # segment id; see _Cursor docstring for why layered segments must not
     # share a cursor
@@ -326,6 +547,13 @@ def _wand_shard(
         pivot_doc = cursors[pivot].doc
         if pivot_doc == _INF:
             break
+        # extend the pivot over every cursor tied on pivot_doc: their
+        # blocks also bound pivot_doc's score, and excluding them let the
+        # safe-skip advance prefix cursors past a doc that suffix cursors
+        # would later score WITHOUT the skipped contributions (partial
+        # score) — the classic WAND pivot-tie detail
+        while pivot + 1 < len(cursors) and cursors[pivot + 1].doc == pivot_doc:
+            pivot += 1
         if cursors[0].doc == pivot_doc:
             # aligned: cursors[0..pivot] all sit exactly on pivot_doc, so
             # their current blocks contain it — block-max refinement first

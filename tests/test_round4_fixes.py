@@ -214,3 +214,162 @@ def test_gc_retention_keeps_pinned_reader_generation(spark, corpus_dir, tmp_path
     assert os.path.basename(resolved_table_path(idx, "posting_blocks")).endswith(".gen-1")
     # old generation dir retained on disk for the grace period
     assert os.path.isdir(os.path.join(idx, "posting_blocks"))
+
+
+# -------------------------------------------------- blockmax wand kernel --
+def test_blockmax_kernel_three_way_identity(spark, index_dir, corpus_docs):
+    """The vectorized block-max kernel must be rank/score-identical to the
+    exhaustive kernel AND the per-document pointer WAND on every shard,
+    and the merged answer must match the oracle."""
+    from data_prepper_spark.analyzer import tokenize_py
+    from data_prepper_spark.query import wand as W
+    from data_prepper_spark.query.common import load_stats_full, query_term_stats
+    from data_prepper_spark.tableio import TableIO
+    from tests.oracle import bm25_topk as oracle_topk
+
+    io = TableIO(index_dir)
+    n_docs, avgdl, _layered = load_stats_full(spark, io)
+    pdf = io.read(spark, "posting_blocks").toPandas()
+    for q, k in [("the", 10), ("parse json response", 10), ("the int return i", 25), ("def", 100)]:
+        terms = sorted(set(tokenize_py(q)))
+        tstats = query_term_stats(spark, io, terms, n_docs)
+        hstats = {s["hash"]: s for s in tstats.values()}
+        merged = []
+        for _s, sub in pdf.groupby("shard"):
+            ex = W._wand_shard(sub, hstats, avgdl, k, 10**12, "wtf")
+            bm = W._wand_shard(sub, hstats, avgdl, k, 0, "wtf", "blockmax")
+            pt = W._wand_shard(sub, hstats, avgdl, k, 0, "wtf", "pointer")
+            norm = lambda hits: [(d, round(s, 9)) for d, s in hits]
+            assert norm(bm) == norm(ex), (q, k, "blockmax vs exhaustive")
+            assert norm(pt) == norm(ex), (q, k, "pointer vs exhaustive")
+            merged.extend(bm)
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        want = oracle_topk(corpus_docs, q, k)
+        assert [(d, round(s, 6)) for d, s in merged[:k]] == [
+            (d, round(s, 6)) for _r, d, s in want
+        ], (q, k)
+
+
+def test_kernels_identical_on_many_segment_shard(spark, index_dir, corpus_docs):
+    """Regression: pivot-tied cursors (several segments' lists sitting on
+    the same doc) once let the pointer kernel's safe-skip advance prefix
+    cursors past a doc that suffix cursors later scored without them —
+    partial scores. Remap every shard to a segment of ONE logical shard
+    (the layered-index shape, maximal tie density) and require three-way
+    kernel identity."""
+    from data_prepper_spark.analyzer import tokenize_py
+    from data_prepper_spark.query import wand as W
+    from data_prepper_spark.query.common import load_stats_full, query_term_stats
+    from data_prepper_spark.tableio import TableIO
+
+    io = TableIO(index_dir)
+    n_docs, avgdl, _ = load_stats_full(spark, io)
+    pdf = io.read(spark, "posting_blocks").toPandas()
+    one = pdf.copy()
+    one["group"] = one["shard"]
+    one["shard"] = 0
+    for q, k in [("the", 10), ("def return value", 10), ("the int return i", 50)]:
+        tstats = query_term_stats(spark, io, sorted(set(tokenize_py(q))), n_docs)
+        hstats = {s["hash"]: s for s in tstats.values()}
+        norm = lambda hits: [(d, round(s, 9)) for d, s in hits]
+        ex = norm(W._exhaustive_shard(one, hstats, avgdl, k))
+        assert norm(W._blockmax_shard(one, hstats, avgdl, k, "wtf")) == ex, (q, k)
+        assert norm(W._wand_shard_pointer(one, hstats, avgdl, k, "wtf")) == ex, (q, k)
+
+
+# ------------------------------------------------------- dsl fast routing --
+def test_dsl_single_leaf_routes_to_block_index(spark, index_dir):
+    """A bare match compiles to the block-max WAND operator: the plan
+    scans posting_blocks, never the (much larger) postings table — and
+    the result equals the general compiler's to 1e-9."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.query.dsl import _Compiler, search
+
+    dsl = {"match": {"content": "def return value"}}
+    routed = search(spark, index_dir, dsl, size=10)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        routed.explain(True)
+    plan = buf.getvalue()
+    assert "posting_blocks" in plan
+    assert "/postings" not in plan
+    # equivalence with the general compiler (pre-routing semantics)
+    full = _Compiler(spark, index_dir).compile(dsl)
+    want = [
+        (i + 1, r.doc_id, round(r.score, 9))
+        for i, r in enumerate(
+            full.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+        )
+    ]
+    got = [(r.rank, r.doc_id, round(r.score, 9)) for r in routed.collect()]
+    assert got == want
+
+
+def test_dsl_routed_filter_and_boost_equivalence(spark, index_dir):
+    """Routed shapes (match+filters, boost, pagination) stay equivalent
+    to the unrouted compiler pipeline."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.query.dsl import _Compiler, search
+
+    shapes = [
+        ({"bool": {"must": [{"match": {"content": "def return"}}],
+                   "filter": [{"term": {"lang": "python"}},
+                              {"range": {"doc_len": {"gte": 10}}}]}}, 10, 0),
+        ({"match": {"content": {"query": "buffer parse", "boost": 2.5}}}, 8, 0),
+        ({"match": {"content": "def return"}}, 5, 5),  # pagination
+        ({"prefix": {"content": "par"}}, 10, 0),
+    ]
+    for dsl, size, from_ in shapes:
+        got = [
+            (r.rank, r.doc_id, round(r.score, 9))
+            for r in search(spark, index_dir, dsl, size=size, from_=from_).collect()
+        ]
+        comp = _Compiler(spark, index_dir)
+        full = comp.compile(dsl)
+        ordered = full.orderBy(F.desc("score"), F.asc("doc_id")).limit(from_ + size).collect()
+        want = [
+            (i + 1, r.doc_id, round(r.score, 9))
+            for i, r in enumerate(ordered)
+        ][from_:]
+        assert got == want, dsl
+
+
+# --------------------------------------------------- segment dictionaries --
+def test_segdict_new_terms_searchable_without_base_rewrite(spark, corpus_dir, tmp_path):
+    """A layered add whose docs contain BRAND-NEW terms must make them
+    searchable (term stats, WAND, prefix expansion) through the segment
+    side dictionary alone — the base dictionary file is not rewritten —
+    and a refresh folds them into the full dictionary."""
+    import os as _os
+
+    from data_prepper_spark.query.multiterm import prefix_topk
+    from data_prepper_spark.query.wand import bm25_topk_wand
+
+    idx = str(tmp_path / "idx_segdict")
+    build_index(spark, corpus_dir, idx, n_shards=8, units=2, shard_groups=2)
+    novel = "zqxjkvw"  # analyzer-stable, absent from the corpus
+    assert bm25_topk_wand(spark, idx, novel, 5).count() == 0
+    extra_src = str(tmp_path / "segdict_extra")
+    spark.createDataFrame(
+        [("r9", "p9.py", "c9", "python", f"def {novel}_handler(): return {novel}")],
+        "repo string, path string, commit string, lang string, content string",
+    ).coalesce(1).write.mode("overwrite").parquet(extra_src)
+    mtime = _os.path.getmtime(resolved_table_path(idx, "dictionary"))
+    add_to_index(spark, extra_src, idx, n_shards=8, units=1, remerge=False)
+    assert _os.path.getmtime(resolved_table_path(idx, "dictionary")) == mtime
+    # novel term found via WAND (term stats from the side dictionary)
+    hits = bm25_topk_wand(spark, idx, novel, 5).collect()
+    assert len(hits) == 1
+    # and via dictionary-predicate expansion (prefix rewrite)
+    assert prefix_topk(spark, idx, novel[:4], 5).count() == 1
+    # refresh folds the segment stats into the rebuilt base dictionary
+    refresh_index(spark, idx)
+    assert not _os.path.isdir(
+        _os.path.join(resolved_table_path(idx, "posting_blocks"), "_segdict")
+    )
+    assert bm25_topk_wand(spark, idx, novel, 5).count() == 1
