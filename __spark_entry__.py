@@ -144,6 +144,33 @@ from scored {filter_join} order by score desc, doc_id asc limit {k}
         "ft_bm25_topk": bm25_sql(tokenize_py(FT_QUERY), 10),
         "ft_bm25_topk2": bm25_sql(tokenize_py(FT_QUERY2), 20),
         "ft_bm25_filtered": bm25_sql(tokenize_py(FT_QUERY), 10, doc_where="lang = 'en'"),
+        "ft_multi_match": f"""
+            select rank, doc_id, round(score * 3, 4) as score
+            from ({bm25_sql(tokenize_py(FT_QUERY), 10)}) order by rank""",
+        "ft_ids_filtered": bm25_sql(
+            tokenize_py(FT_QUERY), 10,
+            doc_where="doc_id in ("
+            + ",".join(str(i) for i in range(0, 400, 7))
+            + ") and lang is not null",
+        ),
+        "agg_range_chars": f"""
+            with tk as (select doc_id, n_chars, {toks} as toks from documents),
+            m as (select n_chars from tk
+                  where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0)
+            select r.key, r."from", r."to",
+                   (select count(*) from m
+                    where (r."from" is null or m.n_chars >= r."from")
+                      and (r."to" is null or m.n_chars < r."to")) as doc_count
+            from (values ('*-500.0', cast(null as double), 500.0),
+                         ('500.0-2000.0', 500.0, 2000.0),
+                         ('2000.0-*', 2000.0, cast(null as double))) r(key, "from", "to")""",
+        "agg_histogram_chars": f"""
+            with tk as (select doc_id, n_chars, {toks} as toks from documents),
+            m as (select n_chars from tk
+                  where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0)
+            select floor(n_chars / 300.0) * 300.0 as key,
+                   count(*) as doc_count
+            from m group by 1 order by 1""",
     }
 
 
@@ -1574,7 +1601,69 @@ def _extra_oracles() -> dict[str, str]:
                    case when event_id % 2 = 0 then null else true end as is_monotonic,
                    case when event_id % 2 = 0 then null else 'CUMULATIVE' end as temporality
             from events""",
+        "events_date_histogram": """
+            select make_timestamp(cast(floor(epoch(ts) / 21600) * 21600 as bigint) * 1000000) as key,
+                   count(*) as doc_count
+            from events group by 1 order by 1""",
     }
+
+
+
+def q_ft_multi_match(spark, sf_dir):
+    """OpenSearch multi_match over ["text^2", "text"] with most_fields
+    scoring: factor = 2 + 1 = 3x the single-field match scores (the DSL
+    compiler's multi_match leaf, query/dsl.py — equivalence to the
+    compiler is pytest-asserted; the adhoc twin makes it oracle-checkable)."""
+    out = bm25_topk_adhoc(_t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY, 10)
+    return out.select("rank", "doc_id", F.round(F.col("score") * 3, 4).alias("score"))
+
+
+def q_ft_ids_filtered(spark, sf_dir):
+    """OpenSearch ids + exists filters under a scoring match (DSL filter
+    leaves, query/dsl.py): top-k among an explicit doc-id allowlist with a
+    non-null attr, corpus-wide statistics (Lucene filter semantics)."""
+    ids = ",".join(str(i) for i in range(0, 400, 7))
+    return bm25_topk_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY, 10,
+        doc_filter=f"doc_id in ({ids}) and lang is not null",
+    )
+
+
+def q_agg_range_chars(spark, sf_dir):
+    """OpenSearch range aggregation (from-inclusive / to-exclusive,
+    empty buckets reported) over the match set of the standard query
+    (query/dsl.py _bucket_agg, shared with the indexed aggs path)."""
+    from data_prepper_spark.query.dsl import aggregations_adhoc
+
+    return aggregations_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY,
+        {"r": {"range": {"field": "n_chars",
+                         "ranges": [{"to": 500}, {"from": 500, "to": 2000},
+                                    {"from": 2000}]}}},
+    )["r"]
+
+
+def q_agg_histogram_chars(spark, sf_dir):
+    """OpenSearch histogram aggregation (fixed numeric interval, bucket
+    key = lower bound) over the match set of the standard query."""
+    from data_prepper_spark.query.dsl import aggregations_adhoc
+
+    return aggregations_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY,
+        {"h": {"histogram": {"field": "n_chars", "interval": 300}}},
+    )["h"]
+
+
+def q_events_date_histogram(spark, sf_dir):
+    """OpenSearch date_histogram with a fixed_interval of 6h over the
+    events stream (query/dsl.py bucket_agg_adhoc — epoch-floor bucketing,
+    the DSL aggs path without a query)."""
+    from data_prepper_spark.query.dsl import bucket_agg_adhoc
+
+    return bucket_agg_adhoc(
+        _t(spark, sf_dir, "events"),
+        {"date_histogram": {"field": "ts", "fixed_interval": "6h"}},
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1653,6 +1742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_histogram": q_otel_histogram,
         "otel_gauge_sum": q_otel_gauge_sum,
         "otel_summary": q_otel_summary,
+        "ft_multi_match": q_ft_multi_match,
+        "ft_ids_filtered": q_ft_ids_filtered,
+        "agg_range_chars": q_agg_range_chars,
+        "agg_histogram_chars": q_agg_histogram_chars,
+        "events_date_histogram": q_events_date_histogram,
     }
 
 

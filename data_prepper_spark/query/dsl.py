@@ -561,119 +561,154 @@ def aggregations(
     comp = _Compiler(spark, index_dir)
     hits = comp.compile(dsl).select("doc_id")
     docs = comp.io.read(spark, "docs")
-    out: dict[str, DataFrame] = {}
-    for name, spec in aggs.items():
-        kind, body = _leaf_body(spec)
-        field = body["field"]
-        matched = docs.join(hits, "doc_id", "left_semi")
-        if kind == "terms":
-            size = int(body.get("size", 10))
-            out[name] = (
-                matched.groupBy(field)
-                .agg(F.count(F.lit(1)).alias("doc_count"))
-                .orderBy(F.desc("doc_count"), F.asc(field))
-                .limit(size)
+    matched_all = docs.join(hits, "doc_id", "left_semi")
+    return {
+        name: _bucket_agg(spark, matched_all, spec) for name, spec in aggs.items()
+    }
+
+
+def aggregations_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text: str,
+    aggs: dict,
+) -> dict[str, DataFrame]:
+    """Index-free twin of ``aggregations``: the match set is every doc
+    containing >= 1 analyzed query term (bool-OR match semantics, same
+    as facet_counts_adhoc); bucket computation is the shared
+    ``_bucket_agg``, so the two paths cannot drift."""
+    from ..analyzer import tokens_col
+    from ..util import spread
+
+    terms = sorted(set(tokenize_py(query_text)))
+    spark = df.sparkSession
+    base = spread(df.select("*", tokens_col(text_col).alias("__toks")))
+    matched = (
+        base.where(F.exists("__toks", lambda t: t.isin(terms))).drop("__toks")
+        if terms
+        else base.drop("__toks").limit(0)
+    )
+    return {name: _bucket_agg(spark, matched, spec) for name, spec in aggs.items()}
+
+
+def bucket_agg_adhoc(df: DataFrame, spec: dict) -> DataFrame:
+    """One bucket aggregation over ALL rows of an arbitrary DataFrame —
+    the aggs half of the DSL under a match_all, usable on any table
+    (e.g. a date_histogram over an events stream)."""
+    return _bucket_agg(df.sparkSession, df, spec)
+
+
+def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFrame:
+    """One named aggregation over an already-computed match set."""
+    kind, body = _leaf_body(spec)
+    field = body["field"]
+    if kind == "terms":
+        size = int(body.get("size", 10))
+        return (
+            matched.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc(field))
+            .limit(size)
+        )
+    if kind == "stats":
+        return matched.agg(
+            F.count(field).alias("count"),
+            F.min(field).alias("min"),
+            F.max(field).alias("max"),
+            F.avg(field).alias("avg"),
+            F.sum(field).alias("sum"),
+        )
+    if kind == "range":
+        # {"field": f, "ranges": [{"to": x}, {"from": a, "to": b},
+        # {"from": y}]} -> (key, from, to, doc_count); OpenSearch
+        # semantics: from inclusive, to exclusive, ranges may overlap
+        # (a doc counts in every range it falls into), empty ranges
+        # report doc_count 0. One scan: explode the per-doc matched
+        # range keys, then a broadcast left join keeps empty ranges.
+        ranges = body.get("ranges", [])
+        if not ranges:
+            raise ValueError("range aggregation needs 'ranges'")
+        col = F.col(field).cast("double")
+        specs = []
+        for r in ranges:
+            lo = float(r["from"]) if "from" in r else None
+            hi = float(r["to"]) if "to" in r else None
+            key = r.get(
+                "key",
+                f"{'*' if lo is None else lo}-{'*' if hi is None else hi}",
             )
-        elif kind == "stats":
-            out[name] = matched.agg(
-                F.count(field).alias("count"),
-                F.min(field).alias("min"),
-                F.max(field).alias("max"),
-                F.avg(field).alias("avg"),
-                F.sum(field).alias("sum"),
+            specs.append((key, lo, hi))
+        conds = [
+            F.when(
+                (F.lit(True) if lo is None else (col >= lo))
+                & (F.lit(True) if hi is None else (col < hi)),
+                F.lit(key),
             )
-        elif kind == "range":
-            # {"field": f, "ranges": [{"to": x}, {"from": a, "to": b},
-            # {"from": y}]} -> (key, from, to, doc_count); OpenSearch
-            # semantics: from inclusive, to exclusive, ranges may overlap
-            # (a doc counts in every range it falls into), empty ranges
-            # report doc_count 0. One scan: explode the per-doc matched
-            # range keys, then a broadcast left join keeps empty ranges.
-            ranges = body.get("ranges", [])
-            if not ranges:
-                raise ValueError("range aggregation needs 'ranges'")
-            col = F.col(field).cast("double")
-            specs = []
-            for r in ranges:
-                lo = float(r["from"]) if "from" in r else None
-                hi = float(r["to"]) if "to" in r else None
-                key = r.get(
-                    "key",
-                    f"{'*' if lo is None else lo}-{'*' if hi is None else hi}",
-                )
-                specs.append((key, lo, hi))
-            conds = [
-                F.when(
-                    (F.lit(True) if lo is None else (col >= lo))
-                    & (F.lit(True) if hi is None else (col < hi)),
-                    F.lit(key),
-                )
-                for key, lo, hi in specs
-            ]
-            counted = (
-                matched.select(F.explode(F.array(*conds)).alias("key"))
-                .where(F.col("key").isNotNull())
-                .groupBy("key")
-                .agg(F.count(F.lit(1)).alias("doc_count"))
+            for key, lo, hi in specs
+        ]
+        counted = (
+            matched.select(F.explode(F.array(*conds)).alias("key"))
+            .where(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+        )
+        rdf = spark.createDataFrame(specs, "key string, from double, to double")
+        return (
+            rdf.join(F.broadcast(counted), "key", "left")
+            .select(
+                "key", "from", "to",
+                F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
             )
-            rdf = spark.createDataFrame(specs, "key string, from double, to double")
-            out[name] = (
-                rdf.join(F.broadcast(counted), "key", "left")
-                .select(
-                    "key", "from", "to",
-                    F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
-                )
-                .orderBy(F.asc_nulls_first("from"), "key")
-            )
-        elif kind == "histogram":
-            # {"field": f, "interval": n} -> (key, doc_count), key = bucket
-            # lower bound; empty buckets omitted (min_doc_count >= 1)
-            interval = float(body["interval"])
-            key = (F.floor(F.col(field).cast("double") / interval) * interval).alias("key")
-            out[name] = (
-                matched.where(F.col(field).isNotNull())
-                .groupBy(key)
-                .agg(F.count(F.lit(1)).alias("doc_count"))
-                .orderBy("key")
-            )
-        elif kind == "date_histogram":
-            # {"field": f, "calendar_interval": "day"} (or fixed_interval
-            # "1h"/"30m"/"1d") -> (key timestamp, doc_count), bucket =
-            # date_trunc; the field must cast to timestamp
-            cal = body.get("calendar_interval")
-            if cal is not None:
-                units = {
-                    "second": "second", "minute": "minute", "hour": "hour",
-                    "day": "day", "week": "week", "month": "month",
-                    "quarter": "quarter", "year": "year",
-                }
-                if cal not in units:
-                    raise ValueError(f"unsupported calendar_interval: {cal}")
-                key = F.date_trunc(units[cal], F.col(field).cast("timestamp"))
-            else:
-                fixed = body.get("fixed_interval")
-                if fixed is None:
-                    raise ValueError(
-                        "date_histogram needs calendar_interval or fixed_interval"
-                    )
-                m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", fixed)
-                if not m:
-                    raise ValueError(f"unsupported fixed_interval: {fixed}")
-                millis = int(m.group(1)) * {
-                    "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000
-                }[m.group(2)]
-                epoch_ms = (
-                    F.col(field).cast("timestamp").cast("double") * 1000
-                ).cast("long")
-                key = F.timestamp_millis(
-                    (F.floor(epoch_ms / millis) * millis).cast("long")
-                )
-            out[name] = (
-                matched.where(F.col(field).isNotNull())
-                .groupBy(key.alias("key"))
-                .agg(F.count(F.lit(1)).alias("doc_count"))
-                .orderBy("key")
-            )
+            .orderBy(F.asc_nulls_first("from"), "key")
+        )
+    if kind == "histogram":
+        # {"field": f, "interval": n} -> (key, doc_count), key = bucket
+        # lower bound; empty buckets omitted (min_doc_count >= 1)
+        interval = float(body["interval"])
+        key = (F.floor(F.col(field).cast("double") / interval) * interval).alias("key")
+        return (
+            matched.where(F.col(field).isNotNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("key")
+        )
+    if kind == "date_histogram":
+        # {"field": f, "calendar_interval": "day"} (or fixed_interval
+        # "1h"/"30m"/"1d") -> (key timestamp, doc_count), bucket =
+        # date_trunc; the field must cast to timestamp
+        cal = body.get("calendar_interval")
+        if cal is not None:
+            units = {
+                "second": "second", "minute": "minute", "hour": "hour",
+                "day": "day", "week": "week", "month": "month",
+                "quarter": "quarter", "year": "year",
+            }
+            if cal not in units:
+                raise ValueError(f"unsupported calendar_interval: {cal}")
+            key = F.date_trunc(units[cal], F.col(field).cast("timestamp"))
         else:
-            raise ValueError(f"unsupported aggregation type: {kind}")
-    return out
+            fixed = body.get("fixed_interval")
+            if fixed is None:
+                raise ValueError(
+                    "date_histogram needs calendar_interval or fixed_interval"
+                )
+            m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", fixed)
+            if not m:
+                raise ValueError(f"unsupported fixed_interval: {fixed}")
+            millis = int(m.group(1)) * {
+                "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000
+            }[m.group(2)]
+            epoch_ms = (
+                F.col(field).cast("timestamp").cast("double") * 1000
+            ).cast("long")
+            key = F.timestamp_millis(
+                (F.floor(epoch_ms / millis) * millis).cast("long")
+            )
+        return (
+            matched.where(F.col(field).isNotNull())
+            .groupBy(key.alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("key")
+        )
+    raise ValueError(f"unsupported aggregation type: {kind}")

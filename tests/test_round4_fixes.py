@@ -373,3 +373,68 @@ def test_segdict_new_terms_searchable_without_base_rewrite(spark, corpus_dir, tm
         _os.path.join(resolved_table_path(idx, "posting_blocks"), "_segdict")
     )
     assert bm25_topk_wand(spark, idx, novel, 5).count() == 1
+
+
+# ------------------------------------------------------------ geoip mmdb --
+def test_mmdb_reader_roundtrip(tmp_path):
+    """Fixture writer -> reader roundtrip: every address inside a network
+    resolves to its record, addresses outside resolve to None."""
+    from data_prepper_spark.operators.mmdb import MMDBReader, write_mmdb
+
+    p = str(tmp_path / "fix.mmdb")
+    write_mmdb(p, [
+        ("10.0.0.0/8", {"country": {"iso_code": "US", "names": {"en": "United States"}}}),
+        ("192.168.1.0/24", {"country": {"iso_code": "DE"}, "asn": 64512}),
+        ("8.8.8.8/32", {"country": {"iso_code": "AU"}, "lat": -33.5}),
+    ])
+    r = MMDBReader(p)
+    assert r.meta["database_type"] == "Test-GeoIP"
+    assert r.lookup("10.1.2.3")["country"]["iso_code"] == "US"
+    assert r.lookup("10.255.255.255")["country"]["names"]["en"] == "United States"
+    assert r.lookup("192.168.1.77") == {"country": {"iso_code": "DE"}, "asn": 64512}
+    got = r.lookup("8.8.8.8")
+    assert got["country"]["iso_code"] == "AU" and abs(got["lat"] + 33.5) < 1e-12
+    assert r.lookup("8.8.8.9") is None
+    assert r.lookup("11.0.0.1") is None
+    assert r.lookup("192.168.2.1") is None
+
+
+def test_geo_enrich_mmdb_parity_with_range_table(spark, tmp_path):
+    """The mmdb path and the broadcast range-table path must enrich
+    identically over the same geo data."""
+    from data_prepper_spark.operators.enrich import geo_enrich, geo_enrich_mmdb
+    from data_prepper_spark.operators.mmdb import write_mmdb
+
+    nets = [
+        ("10.0.0.0/8", "US"),
+        ("192.168.0.0/16", "DE"),
+        ("172.16.0.0/12", "FR"),
+        ("8.8.8.0/24", "AU"),
+    ]
+    p = str(tmp_path / "parity.mmdb")
+    write_mmdb(p, [(c, {"country": {"iso_code": cc}}) for c, cc in nets])
+
+    def bounds(cidr):
+        addr, _, plen = cidr.partition("/")
+        a, b, c, d = (int(x) for x in addr.split("."))
+        lo = (a << 24) | (b << 16) | (c << 8) | d
+        span = 1 << (32 - int(plen))
+        return lo, lo + span - 1
+
+    geo = spark.createDataFrame(
+        [(*bounds(c), cc) for c, cc in nets], "net_lo long, net_hi long, country string"
+    )
+    ips = ["10.5.5.5", "192.168.3.4", "172.20.0.9", "8.8.8.123",
+           "9.9.9.9", "203.0.113.50", "172.32.0.1"]
+    df = spark.createDataFrame([(i, ip) for i, ip in enumerate(ips)], "id long, ip string")
+    want = {
+        (r.id, r.country)
+        for r in geo_enrich(df, "ip", geo).select("id", "country").collect()
+    }
+    got = {
+        (r.id, r.country)
+        for r in geo_enrich_mmdb(df, "ip", p, {"country": "country.iso_code"})
+        .select("id", "country").collect()
+    }
+    assert got == want
+    assert {c for _i, c in got} == {"US", "DE", "FR", "AU", None}
