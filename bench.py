@@ -167,6 +167,22 @@ def main() -> None:
     batch_per_query_ms = round(batch_sec * 1000 / len(WAND_QUERIES), 1)
     engine.close()
 
+    # ---- hot-term (high-df) kernel row: exhaustive_threshold=0 forces the
+    # vectorized block-max kernel on df~100% terms over the 200k-doc corpus
+    # — the pointer-regime workload VERDICT r3 flagged; dispatch default
+    # (exhaustive under the threshold) measured alongside for parity
+    hot_q = "the int return data get"
+    for tag, thr in (("blockmax", 0), ("default", None)):
+        eng = IndexQueryEngine(spark, corpus_out, exhaustive_threshold=thr)
+        eng.topk(hot_q, 10).collect()  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            eng.topk(hot_q, 10).collect()
+            best = min(best, time.time() - t0)
+        timings[f"ft_hot_term_{tag}"] = round(best, 3)
+        eng.close()
+
     # ---- headline queries
     for name in HEADLINE:
         t0 = time.time()

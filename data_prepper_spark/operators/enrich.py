@@ -56,6 +56,16 @@ def obfuscate(
 # precede Chrome, and Chrome precedes Safari's "Version/" rule)
 _UA_BROWSERS = [
     (r"DuckDuckGo/(\d+[\.\d]*)", "DuckDuckGo Mobile"),
+    (r"Whale/(\d+[\.\d]*)", "Whale"),
+    (r"coc_coc_browser/(\d+[\.\d]*)", "Coc Coc"),
+    (r"Silk/(\d+[\.\d]*)", "Amazon Silk"),
+    (r"PaleMoon/(\d+[\.\d]*)", "Pale Moon"),
+    (r"SeaMonkey/(\d+[\.\d]*)", "SeaMonkey"),
+    (r"Konqueror/(\d+[\.\d]*)", "Konqueror"),
+    (r"IEMobile/(\d+[\.\d]*)", "IE Mobile"),
+    (r"GSA/(\d+[\.\d]*)", "Google"),
+    (r"MiuiBrowser/(\d+[\.\d]*)", "MiuiBrowser"),
+    (r"HuaweiBrowser/(\d+[\.\d]*)", "Huawei Browser"),
     (r"YaBrowser/(\d+[\.\d]*)", "Yandex Browser"),
     (r"Vivaldi/(\d+[\.\d]*)", "Vivaldi"),
     (r"Brave Chrome/(\d+[\.\d]*)", "Brave"),
@@ -85,6 +95,14 @@ _UA_BROWSERS = [
     (r"facebookexternalhit/(\d+[\.\d]*)", "FacebookBot"),
     (r"AhrefsBot/(\d+[\.\d]*)", "AhrefsBot"),
     (r"SemrushBot/(\d+[\.\d]*)", "SemrushBot"),
+    (r"Applebot/(\d+[\.\d]*)", "Applebot"),
+    (r"GPTBot/(\d+[\.\d]*)", "GPTBot"),
+    (r"DotBot/(\d+[\.\d]*)", "DotBot"),
+    (r"MJ12bot/v?(\d+[\.\d]*)", "MJ12bot"),
+    (r"PetalBot", "PetalBot"),
+    (r"Baiduspider(?:-render)?/(\d+[\.\d]*)", "Baiduspider"),
+    (r"DuckDuckBot/(\d+[\.\d]*)", "DuckDuckBot"),
+    (r"LinkedInBot/(\d+[\.\d]*)", "LinkedInBot"),
     # programmatic http clients
     (r"curl/(\d+[\.\d]*)", "curl"),
     (r"[Ww]get/(\d+[\.\d]*)", "Wget"),
@@ -105,11 +123,16 @@ _UA_OS = [
     (r"Windows Phone", "Windows Phone", r"Windows Phone (?:OS )?(\d+[\.\d]*)"),
     (r"Windows NT [\d\.]+", "Windows", r"Windows NT (\d+\.\d+)"),
     (r"CrOS", "Chrome OS", r"CrOS \S+ (\d+[\.\d]*)"),
+    # KaiOS/Tizen before Android: their UAs carry an "Android" token too
+    (r"KAIOS/[\d\.]+", "KaiOS", r"KAIOS/(\d+[\.\d]*)"),
+    (r"Tizen", "Tizen", r"Tizen[ /](\d+[\.\d]*)"),
     (r"Android", "Android", r"Android (\d+[\.\d]*)"),
     # iOS before Mac OS X: iPhone/iPad UAs end with "... like Mac OS X"
     (r"iPhone OS|iPad; CPU OS|iOS", "iOS", r"(?:iPhone )?OS (\d+[_\.\d]*)"),
     (r"Mac OS X", "Mac OS X", r"Mac OS X (\d+[_\.\d]*)"),
     (r"FreeBSD", "FreeBSD", None),
+    (r"OpenBSD", "OpenBSD", None),
+    (r"NetBSD", "NetBSD", None),
     (r"Ubuntu", "Ubuntu", None),
     (r"Fedora", "Fedora", None),
     (r"Debian", "Debian", None),
@@ -163,6 +186,11 @@ def user_agent(
         .when(ua.rlike(r"HUAWEI|HONOR"), F.lit("Huawei"))
         .when(ua.rlike(r"Xiaomi|Redmi|MI \d"), F.lit("Xiaomi"))
         .when(ua.rlike(r"OnePlus"), F.lit("OnePlus"))
+        .when(ua.rlike(r"Kindle|KF[A-Z]{2,}"), F.lit("Kindle"))
+        .when(ua.rlike(r"PlayStation"), F.lit("PlayStation"))
+        .when(ua.rlike(r"Xbox"), F.lit("Xbox"))
+        .when(ua.rlike(r"Nintendo"), F.lit("Nintendo"))
+        .when(ua.rlike(r"SmartTV|SMART-TV|BRAVIA|AppleTV"), F.lit("Smart TV"))
         .when(ua.rlike(r"Android"), F.lit("Android"))
         .when(
             ua.rlike(r"bot|Bot|crawler|spider|facebookexternalhit"), F.lit("Spider")

@@ -438,3 +438,33 @@ def test_geo_enrich_mmdb_parity_with_range_table(spark, tmp_path):
     }
     assert got == want
     assert {c for _i, c in got} == {"US", "DE", "FR", "AU", None}
+
+
+# ------------------------------------------------------- user_agent rules --
+def test_user_agent_extended_rules(spark):
+    from data_prepper_spark.operators.enrich import user_agent
+
+    uas = [
+        ("Mozilla/5.0 (X11; CrOS x86_64) Chrome/120.0 Whale/3.21.192.18 Safari/537.36", "Whale", "3.21.192.18"),
+        ("Mozilla/5.0 (Linux; Android 10; KFMAWI) Silk/119.2 Chrome/119.0 Safari/537.36", "Amazon Silk", "119.2"),
+        ("Mozilla/5.0 AppleWebKit/537.36 (compatible; GPTBot/1.0; +https://openai.com/gptbot)", "GPTBot", "1.0"),
+        ("Mozilla/5.0 (compatible; Baiduspider/2.0; +http://www.baidu.com/search/spider.html)", "Baiduspider", "2.0"),
+        ("Mozilla/5.0 (Mobile; LYF/F300B/LYF-F300B; Android; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5", "Firefox", "48.0"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _, _) in enumerate(uas)], "id long, ua string")
+    rows = {r.id: r for r in user_agent(df, "ua").select("id", "user_agent.*").collect()}
+    for i, (_u, name, ver) in enumerate(uas):
+        assert rows[i]["name"] == name, (i, rows[i])
+        assert rows[i]["version"] == ver, (i, rows[i])
+    # KaiOS os family from the last UA
+    assert rows[4]["os"] == "KaiOS" and rows[4]["os_version"] == "2.5"
+    # device families
+    dev = spark.createDataFrame(
+        [(0, "Mozilla/5.0 (PlayStation 5/SmartTV) AppleWebKit/605.1.15"),
+         (1, "Mozilla/5.0 (Windows NT 10.0; Xbox; Xbox One)"),
+         (2, "Mozilla/5.0 (Nintendo Switch; WifiWebAuthApplet)"),
+         (3, "Mozilla/5.0 (Linux; Android 9; KFMAWI Build/PS7326)")],
+        "id long, ua string")
+    drows = {r.id: r["user_agent"]["device"] for r in user_agent(dev, "ua").collect()}
+    assert drows[0] == "PlayStation" and drows[1] == "Xbox"
+    assert drows[2] == "Nintendo" and drows[3] == "Kindle"
