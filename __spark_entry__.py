@@ -153,6 +153,32 @@ from scored {filter_join} order by score desc, doc_id asc limit {k}
             + ",".join(str(i) for i in range(0, 400, 7))
             + ") and lang is not null",
         ),
+        "dsl_query_string": f"""
+with tk as ({base}),
+dl as (select doc_id, len(toks) as dl from tk),
+posts as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest(toks) as term from tk)
+  where term in ('key', 'scan', 'table') group by doc_id, term),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+tdf as (select term, count(*) as df from posts group by term),
+per as (
+  select p.doc_id, p.term,
+         ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) as sc
+  from posts p join tdf t using(term) join dl d using(doc_id) cross join stats s),
+agg as (
+  select doc_id, round(sum(sc), 4) as score,
+         count(distinct case when term in ('key', 'table') then term end) as n_must
+  from per group by doc_id),
+sel as (
+  select a.doc_id, a.score
+  from agg a join documents d using(doc_id)
+  where a.n_must = 2 and (d.lang is null or d.lang <> 'fr'))
+select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+       doc_id, score
+from sel order by score desc, doc_id asc limit 10
+""",
         "agg_range_chars": f"""
             with tk as (select doc_id, n_chars, {toks} as toks from documents),
             m as (select n_chars from tk
@@ -1629,6 +1655,22 @@ def q_ft_ids_filtered(spark, sf_dir):
     )
 
 
+def q_dsl_query_string(spark, sf_dir):
+    """Lucene query_string syntax through the full DSL compiler, running
+    index-free over the documents table (query/querystring.py parse ->
+    query/dsl.py _AdhocCompiler — the same compiler class the indexed
+    path uses, backend-swapped; parity with the index is pytest-asserted
+    in tests/test_dsl.py). '+key +table scan -lang:fr': both must terms
+    required, 'scan' an optional booster, French docs excluded."""
+    from data_prepper_spark.query.dsl import search_adhoc
+
+    return search_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        {"query_string": {"query": "+key +table scan -lang:fr"}},
+        size=10, round_to=4,
+    )
+
+
 def q_agg_range_chars(spark, sf_dir):
     """OpenSearch range aggregation (from-inclusive / to-exclusive,
     empty buckets reported) over the match set of the standard query
@@ -1744,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_summary": q_otel_summary,
         "ft_multi_match": q_ft_multi_match,
         "ft_ids_filtered": q_ft_ids_filtered,
+        "dsl_query_string": q_dsl_query_string,
         "agg_range_chars": q_agg_range_chars,
         "agg_histogram_chars": q_agg_histogram_chars,
         "events_date_histogram": q_events_date_histogram,

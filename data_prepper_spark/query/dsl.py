@@ -16,6 +16,9 @@ index. Supported (the working subset of a log/code-search deployment):
   {"match_all": {}}                                          (filter)
   {"bool": {"must": [...], "should": [...],
             "must_not": [...], "filter": [...]}}
+  {"query_string": {"query": "+a b -c field:v \"p q\"~1 pre*",
+                    "default_operator": "OR"}}   (Lucene syntax, see
+                                                  querystring.py)
 
 Scoring model matches Lucene's bool query: a doc must satisfy every
 ``must`` clause; its score is the SUM of all matched must + should clause
@@ -89,16 +92,40 @@ class _Compiler:
         self.io = TableIO(index_dir)
         self.n_docs, self.avgdl = load_stats(spark, self.io)
 
+    # ------------------------------------------------------- data seams --
+    # _AdhocCompiler overrides these five to run the SAME compiler (bool
+    # combiner, leaf semantics, msm, boost) index-free over a corpus
+    # DataFrame — one compiler, two backends, zero semantic drift.
+    def _term_stats(self, terms: list[str]) -> dict[str, dict]:
+        return query_term_stats(self.spark, self.io, terms, self.n_docs)
+
+    def _postings_df(self) -> DataFrame:
+        return self.io.read(self.spark, "postings")
+
+    def _docs_df(self) -> DataFrame:
+        return self.io.read(self.spark, "docs")
+
+    def _has_positions(self) -> bool:
+        return self.io.exists("positions")
+
+    def _phrase_docs(self, text: str, slop: int) -> DataFrame:
+        from .phrase import phrase_docs
+
+        return phrase_docs(self.spark, self.io.root, text, slop=slop)
+
+    def _expand(self, pred, cap: int) -> list[str]:
+        return _expand_terms(self.spark, self.io, pred, cap)
+
     # ---------------------------------------------------- scoring leaves --
     def _score_terms(self, terms: list[str]) -> DataFrame | None:
         """Full (doc_id, score) bool-OR BM25 aggregate for a term set."""
-        tstats = query_term_stats(self.spark, self.io, sorted(set(terms)), self.n_docs)
+        tstats = self._term_stats(sorted(set(terms)))
         if not tstats:
             return None
         idf_df = self.spark.createDataFrame(
             [(t, s["idf"]) for t, s in tstats.items()], "term string, idf double"
         )
-        posts = self.io.read(self.spark, "postings").where(
+        posts = self._postings_df().where(
             F.col("term").isin(list(tstats))
         )
         return (
@@ -121,11 +148,9 @@ class _Compiler:
             self._require_content(field, kind)
             return self._score_terms(tokenize_py(text))
         if kind == "match_phrase":
-            from .phrase import phrase_docs
-
             field, spec = _leaf_body(body)
             self._require_content(field, kind)
-            if not self.io.exists("positions"):
+            if not self._has_positions():
                 raise ValueError(
                     "match_phrase requires the positions table; run "
                     "query.phrase.build_positions over the corpus first"
@@ -133,19 +158,17 @@ class _Compiler:
             text = spec["query"] if isinstance(spec, dict) else spec
             slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
             all_terms = tokenize_py(text)
-            tstats = query_term_stats(
-                self.spark, self.io, sorted(set(all_terms)), self.n_docs
-            )
+            tstats = self._term_stats(sorted(set(all_terms)))
             if len(tstats) < len(set(all_terms)):
                 return None  # a phrase term is absent -> no matches
             sum_idf = sum(tstats[t]["idf"] for t in all_terms)
-            matches = phrase_docs(self.spark, self.io.root, text, slop=slop)
+            matches = self._phrase_docs(text, slop)
             pf = (
                 F.col("sloppy_freq")
                 if slop > 0
                 else F.col("n_matches").cast("double")
             )
-            dl = self.io.read(self.spark, "docs").select("doc_id", "doc_len")
+            dl = self._docs_df().select("doc_id", "doc_len")
             return matches.join(dl, "doc_id").select(
                 "doc_id",
                 score_expr(F.lit(sum_idf), pf, F.col("doc_len"), self.avgdl).alias(
@@ -156,9 +179,7 @@ class _Compiler:
             field, spec = _leaf_body(body)
             self._require_content(field, kind)
             prefix = spec["value"] if isinstance(spec, dict) else spec
-            terms = _expand_terms(
-                self.spark, self.io, F.col("term").startswith(prefix), 128
-            )
+            terms = self._expand(F.col("term").startswith(prefix), 128)
             return self._score_terms(terms) if terms else None
         if kind == "wildcard":
             from .multiterm import _wildcard_regex
@@ -170,16 +191,14 @@ class _Compiler:
             lit_prefix = pattern.split("*")[0].split("?")[0]
             if lit_prefix:
                 pred = F.col("term").startswith(lit_prefix) & pred
-            terms = _expand_terms(self.spark, self.io, pred, 128)
+            terms = self._expand(pred, 128)
             return self._score_terms(terms) if terms else None
         if kind == "regexp":
             field, spec = _leaf_body(body)
             self._require_content(field, kind)
             rx = spec["value"] if isinstance(spec, dict) else spec
             anchored = rx if rx.startswith("^") else f"^(?:{rx})$"
-            terms = _expand_terms(
-                self.spark, self.io, F.col("term").rlike(anchored), 128
-            )
+            terms = self._expand(F.col("term").rlike(anchored), 128)
             return self._score_terms(terms) if terms else None
         if kind == "fuzzy":
             field, spec = _leaf_body(body)
@@ -189,7 +208,7 @@ class _Compiler:
             pred = F.col("term").startswith(value[:1]) & (
                 F.levenshtein(F.col("term"), F.lit(value)) <= max_edits
             )
-            terms = _expand_terms(self.spark, self.io, pred, 64)
+            terms = self._expand(pred, 64)
             return self._score_terms(terms) if terms else None
         if kind == "multi_match":
             # flat body: {"query": q, "fields": ["content", "content^2"],
@@ -231,7 +250,7 @@ class _Compiler:
     def _filter_leaf(self, kind: str, body: Any) -> DataFrame:
         """doc_id set for a non-scoring clause (docs-table predicate,
         pushed to the parquet scan)."""
-        docs = self.io.read(self.spark, "docs")
+        docs = self._docs_df()
         if kind == "match_all":
             return docs.select("doc_id")
         if kind == "term":
@@ -270,6 +289,8 @@ class _Compiler:
     def compile(self, dsl: dict) -> DataFrame:
         """Full (doc_id, score) result of a query clause (pre-top-k)."""
         kind, body = _leaf_body(dsl)
+        if kind == "query_string":
+            return self.compile(_rewrite_query_string(body))
         if kind == "bool":
             return self._compile_bool(body)
         # per-clause boost (the DSL's {"boost": n} / field^n analog):
@@ -368,6 +389,143 @@ class _Compiler:
         for mn in must_not:
             cur = cur.join(mn.select("doc_id"), "doc_id", "left_anti")
         return cur
+
+
+def _rewrite_query_string(body) -> dict:
+    """query_string clause -> parsed DSL tree (querystring.py grammar)."""
+    from .querystring import parse_query_string
+
+    if isinstance(body, str):
+        return parse_query_string(body)
+    if not isinstance(body, dict) or "query" not in body:
+        raise ValueError("query_string needs {'query': ...}")
+    return parse_query_string(
+        body["query"],
+        default_field=body.get("default_field", "content"),
+        default_operator=body.get("default_operator", "OR"),
+    )
+
+
+class _AdhocCompiler(_Compiler):
+    """The same DSL compiler running index-free over a corpus DataFrame:
+    postings/docs/term stats are derived from one tokenization pass
+    instead of the index tables. Statistics are identical by construction
+    (df counted from the same analyzed tokens the index would store), so
+    scores match the indexed path exactly — asserted in tests/test_dsl.py
+    and oracle-checked through the driver contract. Costs one extra
+    corpus scan per scoring leaf; for serving use the index."""
+
+    def __init__(self, df: DataFrame, text_col: str, id_col: str):
+        from ..analyzer import tokens_col
+        from ..util import spread
+
+        self.spark = df.sparkSession
+        self.io = None  # type: ignore[assignment]
+        self._src = df
+        self._text, self._id = text_col, id_col
+        self._tok = spread(
+            df.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                tokens_col(text_col).alias("toks"),
+            )
+        )
+        r = self._tok.agg(
+            F.count(F.lit(1)).alias("n"), F.avg(F.size("toks")).alias("avgdl")
+        ).collect()[0]
+        self.n_docs = int(r["n"])
+        self.avgdl = float(r["avgdl"] or 0.0)
+
+    # ------------------------------------------------- seam overrides --
+    def _postings_df(self) -> DataFrame:
+        return (
+            self._tok.select(
+                "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term")
+            )
+            .groupBy("term", "doc_id", "doc_len")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
+
+    def _docs_df(self) -> DataFrame:
+        attrs = [c for c in self._src.columns if c != self._text]
+        docs = self._src.select(
+            *[
+                F.col(c).cast("long").alias("doc_id") if c == self._id else F.col(c)
+                for c in attrs
+            ]
+        )
+        return docs.join(
+            self._tok.select("doc_id", F.size("toks").alias("doc_len")), "doc_id"
+        )
+
+    def _term_stats(self, terms: list[str]) -> dict[str, dict]:
+        from .common import idf as _idf
+
+        if not terms:
+            return {}
+        rows = (
+            self._tok.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+            .where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        )
+        return {
+            r["term"]: {
+                "df": int(r["df"]),
+                "idf": _idf(self.n_docs, int(r["df"])),
+                "hash": 0,
+                "max_wtf": 0.0,
+            }
+            for r in rows
+        }
+
+    def _has_positions(self) -> bool:
+        return True
+
+    def _phrase_docs(self, text: str, slop: int) -> DataFrame:
+        from .phrase import phrase_docs_adhoc
+
+        return phrase_docs_adhoc(self._src, self._text, self._id, text, slop=slop)
+
+    def _expand(self, pred, cap: int) -> list[str]:
+        # dictionary = distinct analyzed terms with df, lowest-df-first cap
+        # (the same Lucene scoring-boolean rewrite order as the indexed
+        # _expand_terms)
+        rows = (
+            self._tok.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(pred)
+            .orderBy(F.asc("df"), F.asc("term"))
+            .limit(cap)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+
+def search_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dsl: dict,
+    size: int = 10,
+    from_: int = 0,
+    round_to: int | None = None,
+) -> DataFrame:
+    """(rank, doc_id, score) for a DSL query straight over a corpus
+    DataFrame — the index-free twin of ``search`` (parity asserted in
+    tests; the driver-contract oracle path). ``round_to`` rounds scores
+    before ordering for float-stable cross-engine comparison."""
+    full = _AdhocCompiler(df, text_col, id_col).compile(dsl)
+    if round_to is not None:
+        full = full.select("doc_id", F.round("score", round_to).alias("score"))
+    topn = full.orderBy(F.desc("score"), F.asc("doc_id")).limit(from_ + size)
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return topn.select(w.alias("rank"), "doc_id", "score").where(
+        F.col("rank") > from_
+    )
 
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -524,7 +682,11 @@ def search(
 
     Single-leaf queries route to the dedicated indexed operators
     (_route_indexed); everything else compiles to the general DataFrame
-    program."""
+    program. A top-level query_string clause is parsed first, so e.g. a
+    bare `field:value term` routes exactly like its structured form."""
+    kind, body = _leaf_body(dsl)
+    if kind == "query_string":
+        dsl = _rewrite_query_string(body)
     routed = _route_indexed(spark, index_dir, dsl, from_ + size)
     if routed is not None:
         return routed.where(F.col("rank") > from_)

@@ -322,6 +322,40 @@ def phrase_match_adhoc(
     )
 
 
+def phrase_docs_adhoc(
+    docs: DataFrame, content_col: str, id_col: str, phrase: str, slop: int = 0
+) -> DataFrame:
+    """Index-free twin of ``phrase_docs``: (doc_id, n_matches[,
+    sloppy_freq]) straight over the corpus. Same per-doc position-array
+    matcher as phrase_match_adhoc, with doc ids cast to long and the
+    sloppy-freq column added when slop > 0 so the adhoc DSL compiler's
+    match_phrase leaf is column-compatible with the indexed one."""
+    terms = tokenize_py(phrase)
+    n = len(terms)
+    assert n > 0, "empty phrase after analysis"
+    uniq = sorted(set(terms))
+    toked = spread(
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(tokens_col(content_col)).alias("pos", "term"),
+        )
+    ).where(F.col("term").isin(uniq))
+    per_doc = toked.groupBy("doc_id").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+            ).alias(f"pos_{i}")
+            for i, t in enumerate(uniq)
+        ]
+    )
+    pos_for = {t: F.col(f"pos_{i}") for i, t in enumerate(uniq)}
+    pos_cols = [pos_for[t] for t in terms]
+    sel = ["doc_id", F.size(_match_filter(pos_cols, slop)).cast("int").alias("n_matches")]
+    if slop > 0:
+        sel.append(_sloppy_freq(pos_cols, slop).alias("sloppy_freq"))
+    return per_doc.select(*sel).where(F.col("n_matches") > 0)
+
+
 def phrase_topk_adhoc(
     docs: DataFrame,
     content_col: str,

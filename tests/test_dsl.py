@@ -271,3 +271,94 @@ def test_date_histogram_agg(spark, tmp_path):
     want = collections.Counter(r[2][:10] for r in rows)
     assert by_day == dict(want)
     assert sum(r.doc_count for r in aggs["by_6h"].collect()) == 12
+
+
+# ---------------------------------------------------------- query_string --
+def test_query_string_parser_shapes():
+    from data_prepper_spark.query.querystring import parse_query_string as p
+
+    assert p("a b") == {"bool": {"should": [
+        {"match": {"content": {"query": "a"}}},
+        {"match": {"content": {"query": "b"}}}]}}
+    assert p("a b", default_operator="AND") == {"bool": {"must": [
+        {"match": {"content": {"query": "a"}}},
+        {"match": {"content": {"query": "b"}}}]}}
+    assert p('+a -lang:fr "x y"~2') == {"bool": {
+        "must": [{"match": {"content": {"query": "a"}}}],
+        "should": [{"match_phrase": {"content": {"query": "x y", "slop": 2}}}],
+        "must_not": [{"term": {"lang": "fr"}}]}}
+    assert p("n_chars:[10 TO 20]") == {"range": {"n_chars": {"gte": 10, "lte": 20}}}
+    assert p("n_chars:{10 TO *} AND x") == {"bool": {
+        "must": [{"match": {"content": {"query": "x"}}}],
+        "filter": [{"range": {"n_chars": {"gt": 10}}}]}}
+    assert p("_exists_:lang OR pre*") == {"bool": {"should": [
+        {"exists": {"field": "lang"}},
+        {"prefix": {"content": {"value": "pre"}}}]}}
+    assert p("boost^2 fz~1") == {"bool": {"should": [
+        {"match": {"content": {"query": "boost", "boost": 2.0}}},
+        {"fuzzy": {"content": {"value": "fz", "fuzziness": 1}}}]}}
+    assert p("a OR b AND c") == {"bool": {"should": [
+        {"match": {"content": {"query": "a"}}},
+        {"bool": {"must": [{"match": {"content": {"query": "b"}}},
+                           {"match": {"content": {"query": "c"}}}]}}]}}
+    assert p("-x") == {"bool": {"must_not": [{"match": {"content": {"query": "x"}}}],
+                               "filter": [{"match_all": {}}]}}
+    assert p("") == {"match_all": {}}
+    for bad in ["(a", "a )", "lang:f*r"]:
+        with pytest.raises(ValueError):
+            p(bad)
+
+
+def test_query_string_equals_structured(spark, dsl_index):
+    qs = {"query_string": {"query": '+def +return "def main" -lang:go'}}
+    structured = {"bool": {
+        "must": [{"match": {"content": {"query": "def"}}},
+                 {"match": {"content": {"query": "return"}}}],
+        "should": [{"match_phrase": {"content": {"query": "def main"}}}],
+        "must_not": [{"term": {"lang": "go"}}]}}
+    got = search(spark, dsl_index, qs, size=10).collect()
+    want = search(spark, dsl_index, structured, size=10).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-9
+    assert got
+
+
+def test_query_string_single_leaf_routes_to_bm25(spark, dsl_index):
+    from data_prepper_spark.query.bm25 import bm25_topk
+
+    got = search(spark, dsl_index, {"query_string": "def return value"}, size=10).collect()
+    want = bm25_topk(spark, dsl_index, "def return value", k=10).collect()
+    # a bare term list parses to pure-should matches == bool-OR BM25
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-9
+
+
+# ------------------------------------------------------------ adhoc twin --
+def _corpus_df(spark, corpus_dir):
+    from data_prepper_spark.index.build import doc_id_col
+
+    return spark.read.parquet(corpus_dir).select(
+        doc_id_col().alias("doc_id"), "content", "lang"
+    )
+
+
+@pytest.mark.parametrize("dsl", [
+    {"match": {"content": "def return value"}},
+    {"bool": {"must": [{"match": {"content": "def return"}}],
+              "filter": [{"term": {"lang": "python"}}]}},
+    {"bool": {"should": [{"match": {"content": "def"}},
+                         {"match_phrase": {"content": {"query": "def main", "boost": 2.0}}}],
+              "must_not": [{"match": {"content": "class"}}]}},
+    {"query_string": {"query": '+def return pre* -lang:go'}},
+    {"bool": {"should": [{"fuzzy": {"content": {"value": "retur", "fuzziness": 1}}}]}},
+])
+def test_search_adhoc_matches_indexed(spark, dsl_index, corpus_dir, dsl):
+    from data_prepper_spark.query.dsl import search_adhoc
+
+    got = search_adhoc(_corpus_df(spark, corpus_dir), "content", "doc_id", dsl, size=10).collect()
+    want = search(spark, dsl_index, dsl, size=10).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-7
