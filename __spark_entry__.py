@@ -153,6 +153,46 @@ from scored {filter_join} order by score desc, doc_id asc limit {k}
             + ",".join(str(i) for i in range(0, 400, 7))
             + ") and lang is not null",
         ),
+        "dsl_search_highlight": f"""
+with tk as ({base}),
+dl as (select doc_id, len(toks) as dl from tk),
+posts as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest(toks) as term from tk)
+  where term in ('key', 'scan', 'table') group by doc_id, term),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+tdf as (select term, count(*) as df from posts group by term),
+per as (
+  select p.doc_id, p.term,
+         ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) as sc
+  from posts p join tdf t using(term) join dl d using(doc_id) cross join stats s),
+agg as (
+  select doc_id, round(sum(sc), 4) as score,
+         count(distinct case when term in ('key', 'table') then term end) as n_must
+  from per group by doc_id),
+sel as (
+  select a.doc_id, a.score
+  from agg a join documents d using(doc_id)
+  where a.n_must = 2 and (d.lang is null or d.lang <> 'fr')),
+ranked as (
+  select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+         doc_id, score
+  from sel order by score desc, doc_id asc limit 10),
+snip as (
+  select doc_id,
+         array_to_string(toks[greatest(hits[1] - 2, 1) :
+                              greatest(hits[1] - 2, 1) + 9], ' ') as snippet
+  from (select doc_id, toks,
+          list_transform(
+            list_filter(range(len(toks)),
+                        i -> toks[i+1] in ('key', 'scan', 'table')),
+            i -> i + 1) as hits
+        from tk)
+  where len(hits) > 0)
+select r.rank, r.doc_id, r.score, s2.snippet
+from ranked r left join snip s2 using(doc_id) order by r.rank
+""",
         "dsl_query_string": f"""
 with tk as ({base}),
 dl as (select doc_id, len(toks) as dl from tk),
@@ -1671,6 +1711,20 @@ def q_dsl_query_string(spark, sf_dir):
     )
 
 
+def q_dsl_search_highlight(spark, sf_dir):
+    """The DSL search highlight block (query/dsl.py search_highlight /
+    search_adhoc_highlight): top-k for a query_string plus a token-window
+    snippet from the source table, the OpenSearch highlight analog (the
+    index stores no content; OpenSearch likewise reads _source)."""
+    from data_prepper_spark.query.dsl import search_adhoc_highlight
+
+    return search_adhoc_highlight(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        {"query_string": {"query": "+key +table scan -lang:fr"}},
+        size=10, round_to=4,
+    )
+
+
 def q_agg_range_chars(spark, sf_dir):
     """OpenSearch range aggregation (from-inclusive / to-exclusive,
     empty buckets reported) over the match set of the standard query
@@ -1787,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_match": q_ft_multi_match,
         "ft_ids_filtered": q_ft_ids_filtered,
         "dsl_query_string": q_dsl_query_string,
+        "dsl_search_highlight": q_dsl_search_highlight,
         "agg_range_chars": q_agg_range_chars,
         "agg_histogram_chars": q_agg_histogram_chars,
         "events_date_histogram": q_events_date_histogram,

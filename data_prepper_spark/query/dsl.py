@@ -528,6 +528,88 @@ def search_adhoc(
     )
 
 
+def highlight_terms_of(dsl: dict) -> list[str]:
+    """The analyzed terms a query's scoring leaves contribute to the
+    highlighter: match / multi_match / match_phrase texts (query_string
+    parsed first). Expansion leaves (prefix/fuzzy/wildcard/regexp) are
+    excluded — their matched terms are corpus-dependent; OpenSearch's
+    plain highlighter has the same restriction unless rewrite data is
+    kept."""
+    kind, body = _leaf_body(dsl)
+    if kind == "query_string":
+        return highlight_terms_of(_rewrite_query_string(body))
+    if kind == "bool":
+        out: list[str] = []
+        for role in ("must", "should"):
+            for c in body.get(role, []):
+                out.extend(highlight_terms_of(c))
+        return sorted(set(out))
+    if kind in ("match", "match_phrase"):
+        _, spec = _leaf_body(body)
+        text = spec["query"] if isinstance(spec, dict) else spec
+        return sorted(set(tokenize_py(text)))
+    if kind == "multi_match":
+        return sorted(set(tokenize_py(body["query"])))
+    return []
+
+
+def search_highlight(
+    spark: SparkSession,
+    index_dir: str,
+    dsl: dict,
+    source: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    size: int = 10,
+    from_: int = 0,
+    window: int = 10,
+    lead: int = 2,
+) -> DataFrame:
+    """``search`` with OpenSearch's highlight block: (rank, doc_id,
+    score, snippet). The index stores no document content by design, so
+    snippets come from the ``source`` table (OpenSearch reads _source the
+    same way). Docs matched only by non-highlightable leaves (filters,
+    expansion queries) get a NULL snippet. The snippet join touches only
+    the page's doc ids."""
+    from .multiterm import highlight_terms
+
+    hits = search(spark, index_dir, dsl, size=size, from_=from_)
+    terms = highlight_terms_of(dsl)
+    if not terms:
+        return hits.withColumn("snippet", F.lit(None).cast("string"))
+    ids = [r["doc_id"] for r in hits.select("doc_id").collect()]
+    page = source.where(F.col(id_col).cast("long").isin(ids))
+    snip = highlight_terms(page, text_col, id_col, terms, window, lead).select(
+        "doc_id", "snippet"
+    )
+    return hits.join(snip, "doc_id", "left").orderBy("rank")
+
+
+def search_adhoc_highlight(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dsl: dict,
+    size: int = 10,
+    from_: int = 0,
+    window: int = 10,
+    lead: int = 2,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Index-free twin of ``search_highlight`` (parity-tested; the
+    driver-contract oracle path)."""
+    from .multiterm import highlight_terms
+
+    hits = search_adhoc(df, text_col, id_col, dsl, size=size, from_=from_, round_to=round_to)
+    terms = highlight_terms_of(dsl)
+    if not terms:
+        return hits.withColumn("snippet", F.lit(None).cast("string"))
+    snip = highlight_terms(df, text_col, id_col, terms, window, lead).select(
+        "doc_id", "snippet"
+    )
+    return hits.join(snip, "doc_id", "left").orderBy("rank")
+
+
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 

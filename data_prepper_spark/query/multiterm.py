@@ -342,7 +342,22 @@ def highlight_adhoc(
     analyzed tokens starting ``lead`` tokens before the FIRST query-term
     occurrence — a deterministic, per-doc rule that needs no corpus
     statistics, so it is fully SQL-expressible for the oracle."""
-    terms = sorted(set(tokenize_py(query_text)))
+    return highlight_terms(
+        df, text_col, id_col, sorted(set(tokenize_py(query_text))), window, lead
+    )
+
+
+def highlight_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    window: int = 10,
+    lead: int = 2,
+) -> DataFrame:
+    """highlight_adhoc for an explicit analyzed term list — the seam the
+    DSL search highlight block uses (terms collected from the query
+    tree's scoring leaves)."""
     spark = df.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, n_hits int, snippet string")

@@ -362,3 +362,23 @@ def test_search_adhoc_matches_indexed(spark, dsl_index, corpus_dir, dsl):
     assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
     for a, b in zip(got, want):
         assert abs(a.score - b.score) < 1e-7
+
+
+def test_search_highlight_parity_and_snippets(spark, dsl_index, corpus_dir):
+    from data_prepper_spark.query.dsl import search_adhoc_highlight, search_highlight
+
+    df = _corpus_df(spark, corpus_dir)
+    dsl = {"query_string": {"query": "+def return -lang:go"}}
+    got = search_highlight(spark, dsl_index, dsl, df, "content", "doc_id", size=10).collect()
+    want = search_adhoc_highlight(df, "content", "doc_id", dsl, size=10).collect()
+    assert [(r.rank, r.doc_id, r.snippet) for r in got] == \
+           [(r.rank, r.doc_id, r.snippet) for r in want]
+    assert got and all(r.snippet for r in got)  # every hit has a def/return token
+    toks = [r.snippet.split() for r in got]
+    assert all(("def" in t) or ("return" in t) for t in toks)
+    assert all(len(t) <= 10 for t in toks)
+    # filter-only query: no highlightable terms -> NULL snippet column
+    got2 = search_highlight(
+        spark, dsl_index, {"term": {"lang": "python"}}, df, "content", "doc_id", size=5
+    ).collect()
+    assert got2 and all(r.snippet is None for r in got2)
