@@ -5,6 +5,9 @@ share an interpreter. Per NOTES.md discipline: <=8-core sessions,
 interleaved rounds, compare best-of-K.
 
     python scripts/build_ab_run.py [k] [worktree_path]
+
+Env: DPS_AB_SF sets the corpus scale (default 0.01 = 10k docs); each
+scale gets its own cached corpus dir under .data/.
 """
 
 from __future__ import annotations
@@ -34,14 +37,16 @@ def run_once(pythonpath: str, corpus: str, out: str) -> float:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     old = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".ab_r2")
-    corpus = os.path.join(REPO, ".data/ab_corpus")
+    sf = float(os.environ.get("DPS_AB_SF", "0.01"))
+    suffix = "" if sf == 0.01 else f"_{sf}"
+    corpus = os.path.join(REPO, f".data/ab_corpus{suffix}")
     if not os.path.isdir(corpus):
         sys.path.insert(0, REPO)
         from data_prepper_spark.corpus import write_code_files
         from data_prepper_spark.session import get_spark
 
         s = get_spark("ab-gen", cores=8, shuffle_partitions=16)
-        write_code_files(s, 0.01, corpus)
+        write_code_files(s, sf, corpus)
         s.stop()
     runs: dict[str, list[float]] = {"head": [], "old": []}
     for i in range(k):
