@@ -153,6 +153,16 @@ from scored {filter_join} order by score desc, doc_id asc limit {k}
             + ",".join(str(i) for i in range(0, 400, 7))
             + ") and lang is not null",
         ),
+        "dsl_search_after": """
+with f as (
+  select doc_id, cast(2.5 as double) as score, lang, n_chars
+  from documents where n_chars >= 200),
+aft as (
+  select * from f where (lang > 'en') or (lang = 'en' and doc_id > 150))
+select cast(row_number() over (order by lang asc, doc_id asc) as int) as rank,
+       doc_id, score, lang, n_chars
+from aft order by lang asc, doc_id asc limit 12
+""",
         "dsl_search_highlight": f"""
 with tk as ({base}),
 dl as (select doc_id, len(toks) as dl from tk),
@@ -1725,6 +1735,30 @@ def q_dsl_search_highlight(spark, sf_dir):
     )
 
 
+def q_dsl_search_after(spark, sf_dir):
+    """OpenSearch search-body request surface (query/dsl.py search_body):
+    constant_score query, field sort with _doc tiebreaker, search_after
+    cursor pagination (compiles to a WHERE under the top-k — O(size) deep
+    paging, not O(from+size)), and _source includes."""
+    from data_prepper_spark.query.dsl import search_body_adhoc
+
+    return search_body_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        {
+            "query": {
+                "constant_score": {
+                    "filter": {"range": {"n_chars": {"gte": 200}}},
+                    "boost": 2.5,
+                }
+            },
+            "sort": [{"lang": "asc"}, {"_doc": "asc"}],
+            "search_after": ["en", 150],
+            "size": 12,
+            "_source": ["lang", "n_chars"],
+        },
+    )
+
+
 def q_agg_range_chars(spark, sf_dir):
     """OpenSearch range aggregation (from-inclusive / to-exclusive,
     empty buckets reported) over the match set of the standard query
@@ -1842,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ids_filtered": q_ft_ids_filtered,
         "dsl_query_string": q_dsl_query_string,
         "dsl_search_highlight": q_dsl_search_highlight,
+        "dsl_search_after": q_dsl_search_after,
         "agg_range_chars": q_agg_range_chars,
         "agg_histogram_chars": q_agg_histogram_chars,
         "events_date_histogram": q_events_date_histogram,

