@@ -229,6 +229,17 @@ select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
        doc_id, score
 from sel order by score desc, doc_id asc limit 10
 """,
+        "agg_terms_substats": f"""
+            with tk as (select doc_id, lang, n_chars, {toks} as toks from documents),
+            m as (select lang, n_chars from tk
+                  where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0)
+            select lang, cast(count(*) as bigint) as doc_count,
+                   cast(count(n_chars) as bigint) as chars_count,
+                   min(n_chars) as chars_min, max(n_chars) as chars_max,
+                   avg(n_chars) as chars_avg,
+                   cast(sum(n_chars) as bigint) as chars_sum
+            from m group by lang
+            order by doc_count desc, lang asc limit 10""",
         "agg_range_chars": f"""
             with tk as (select doc_id, n_chars, {toks} as toks from documents),
             m as (select n_chars from tk
@@ -1759,6 +1770,20 @@ def q_dsl_search_after(spark, sf_dir):
     )
 
 
+def q_agg_terms_substats(spark, sf_dir):
+    """OpenSearch nested aggregations: a terms bucket agg with a stats
+    metric sub-agg, computed in ONE groupBy (query/dsl.py _sub_agg_cols —
+    sub-aggs never cost a second scan), rendered flat per the relational
+    convention (s -> s_count/s_min/s_max/s_avg/s_sum)."""
+    from data_prepper_spark.query.dsl import aggregations_adhoc
+
+    return aggregations_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY,
+        {"by_lang": {"terms": {"field": "lang", "size": 10},
+                     "aggs": {"chars": {"stats": {"field": "n_chars"}}}}},
+    )["by_lang"]
+
+
 def q_agg_range_chars(spark, sf_dir):
     """OpenSearch range aggregation (from-inclusive / to-exclusive,
     empty buckets reported) over the match set of the standard query
@@ -1877,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_query_string": q_dsl_query_string,
         "dsl_search_highlight": q_dsl_search_highlight,
         "dsl_search_after": q_dsl_search_after,
+        "agg_terms_substats": q_agg_terms_substats,
         "agg_range_chars": q_agg_range_chars,
         "agg_histogram_chars": q_agg_histogram_chars,
         "events_date_histogram": q_events_date_histogram,

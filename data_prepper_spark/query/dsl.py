@@ -968,15 +968,58 @@ def bucket_agg_adhoc(df: DataFrame, spec: dict) -> DataFrame:
     return _bucket_agg(df.sparkSession, df, spec)
 
 
+_METRIC_AGGS = {
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "value_count": F.count,
+}
+
+
+def _sub_agg_cols(subs: dict) -> list:
+    """Metric sub-aggregation columns for a bucket agg's ``aggs`` block
+    (the OpenSearch nested-aggs shape, rendered flat: a `stats` sub-agg
+    named s becomes s_count/s_min/s_max/s_avg/s_sum columns, a single
+    metric keeps its name). Computed in the SAME groupBy as doc_count —
+    sub-aggs never cost a second scan."""
+    cols = []
+    for name, sspec in subs.items():
+        skind, sbody = _leaf_body(sspec)
+        f = sbody["field"]
+        if skind == "stats":
+            cols += [
+                F.count(f).alias(f"{name}_count"),
+                F.min(f).alias(f"{name}_min"),
+                F.max(f).alias(f"{name}_max"),
+                F.avg(f).alias(f"{name}_avg"),
+                F.sum(f).alias(f"{name}_sum"),
+            ]
+        elif skind in _METRIC_AGGS:
+            cols.append(_METRIC_AGGS[skind](f).alias(name))
+        else:
+            raise ValueError(
+                f"unsupported sub-aggregation under a bucket agg: {skind!r} "
+                "(metric sub-aggs only: stats/avg/min/max/sum/value_count)"
+            )
+    return cols
+
+
 def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFrame:
-    """One named aggregation over an already-computed match set."""
+    """One named aggregation over an already-computed match set. A spec
+    may carry an OpenSearch ``aggs`` sibling block of metric sub-aggs,
+    computed per bucket in the same groupBy."""
+    spec = dict(spec)
+    subs = _sub_agg_cols(spec.pop("aggs", None) or {})
     kind, body = _leaf_body(spec)
+    if kind in _METRIC_AGGS:  # top-level single metric over the match set
+        return matched.agg(_METRIC_AGGS[kind](body["field"]).alias("value"))
     field = body["field"]
     if kind == "terms":
         size = int(body.get("size", 10))
         return (
             matched.groupBy(field)
-            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *subs)
             .orderBy(F.desc("doc_count"), F.asc(field))
             .limit(size)
         )
@@ -1017,17 +1060,19 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
             for key, lo, hi in specs
         ]
         counted = (
-            matched.select(F.explode(F.array(*conds)).alias("key"))
+            matched.select(F.explode(F.array(*conds)).alias("key"), "*")
             .where(F.col("key").isNotNull())
             .groupBy("key")
-            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *subs)
         )
         rdf = spark.createDataFrame(specs, "key string, from double, to double")
+        sub_names = [c for c in counted.columns if c not in ("key", "doc_count")]
         return (
             rdf.join(F.broadcast(counted), "key", "left")
             .select(
                 "key", "from", "to",
                 F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+                *sub_names,  # empty ranges keep NULL metrics (no docs)
             )
             .orderBy(F.asc_nulls_first("from"), "key")
         )
@@ -1039,7 +1084,7 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
         return (
             matched.where(F.col(field).isNotNull())
             .groupBy(key)
-            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *subs)
             .orderBy("key")
         )
     if kind == "date_histogram":
@@ -1077,7 +1122,7 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
         return (
             matched.where(F.col(field).isNotNull())
             .groupBy(key.alias("key"))
-            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *subs)
             .orderBy("key")
         )
     raise ValueError(f"unsupported aggregation type: {kind}")

@@ -455,3 +455,73 @@ def test_search_body_default_query_and_field_sort(spark, dsl_index, corpus_dir):
     assert keys == sorted(keys, key=lambda t: (t[0], -t[1]), reverse=True) or True
     langs = [r.lang for r in got]
     assert langs == sorted(langs, reverse=True)
+
+
+def test_sub_aggregations(spark, dsl_index):
+    from data_prepper_spark.query.dsl import aggregations
+
+    dsl = {"match": {"content": "def return"}}
+    out = aggregations(
+        spark, dsl_index, dsl,
+        {
+            "by_lang": {
+                "terms": {"field": "lang", "size": 100},
+                "aggs": {
+                    "lens": {"stats": {"field": "doc_len"}},
+                    "longest": {"max": {"field": "doc_len"}},
+                },
+            },
+            "total_len": {"sum": {"field": "doc_len"}},
+        },
+    )
+    rows = {r["lang"]: r for r in out["by_lang"].collect()}
+    assert rows
+    # per-bucket metrics match a manual groupBy over the same match set
+    from data_prepper_spark.query.dsl import _Compiler
+    import pyspark.sql.functions as SF
+
+    comp = _Compiler(spark, dsl_index)
+    matched = comp._docs_df().join(
+        comp.compile(dsl).select("doc_id"), "doc_id", "left_semi"
+    )
+    want = {
+        r["lang"]: r
+        for r in matched.groupBy("lang")
+        .agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.min("doc_len").alias("mn"),
+            SF.max("doc_len").alias("mx"),
+            SF.sum("doc_len").alias("sm"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(want)
+    for lang, r in rows.items():
+        w = want[lang]
+        assert (r["doc_count"], r["lens_count"], r["lens_min"], r["lens_max"],
+                r["lens_sum"], r["longest"]) == (w["n"], w["n"], w["mn"], w["mx"],
+                                                 w["sm"], w["mx"])
+    total = out["total_len"].collect()[0]["value"]
+    assert total == sum(w["sm"] for w in want.values())
+
+
+def test_range_agg_with_sub_metrics_keeps_empty_buckets(spark, dsl_index):
+    from data_prepper_spark.query.dsl import aggregations
+
+    out = aggregations(
+        spark, dsl_index, {"match_all": {}},
+        {
+            "lens": {
+                "range": {
+                    "field": "doc_len",
+                    "ranges": [{"to": 1}, {"from": 1, "to": 100000}, {"from": 100000}],
+                },
+                "aggs": {"avg_len": {"avg": {"field": "doc_len"}}},
+            }
+        },
+    )
+    rows = {r["key"]: r for r in out["lens"].collect()}
+    assert len(rows) == 3
+    assert rows["*-1.0"]["doc_count"] == 0 and rows["*-1.0"]["avg_len"] is None
+    mid = rows["1.0-100000.0"]
+    assert mid["doc_count"] > 0 and 1 <= mid["avg_len"] < 100000
