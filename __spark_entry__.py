@@ -719,6 +719,19 @@ def q_facet_counts(spark, sf_dir):
     )
 
 
+def q_significant_terms(spark, sf_dir):
+    """OpenSearch significant_terms aggregation (JLH heuristic): content
+    terms over-represented in the query's match set vs the corpus
+    background (query/multiterm.py significant_terms; background from the
+    index dictionary on the indexed path — no second corpus scan)."""
+    from data_prepper_spark.query.multiterm import significant_terms_adhoc
+
+    return significant_terms_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY,
+        size=10, round_to=6,
+    )
+
+
 def q_more_like_this(spark, sf_dir):
     """Lucene MoreLikeThisQuery analog: the source doc's top tf*idf terms
     (minDocFreq-filtered, capped) become a bool-OR BM25 query excluding
@@ -1121,6 +1134,25 @@ def _textops_oracles() -> dict[str, str]:
             from t
             where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0
             group by lang""",
+        "ft_significant_terms": f"""
+            with t as (select doc_id, list_distinct({toks}) as toks from documents),
+            stats as (select count(*) as n_docs from t),
+            m as (select doc_id, toks from t
+                  where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0),
+            fgt as (select count(*) as fg_total from m),
+            fg as (select term, count(*) as fg_count
+                   from (select doc_id, unnest(toks) as term from m) group by term),
+            bg as (select term, count(*) as bg_count
+                   from (select doc_id, unnest(toks) as term from t) group by term)
+            select term, cast(fg_count as bigint) as fg_count,
+                   cast(bg_count as bigint) as bg_count,
+                   round((fg_count * 1.0 / fg_total - bg_count * 1.0 / n_docs)
+                         * (fg_count * 1.0 / fg_total) / (bg_count * 1.0 / n_docs),
+                         6) as score
+            from fg join bg using(term) cross join fgt cross join stats
+            where fg_count >= 3
+              and fg_count * 1.0 / fg_total > bg_count * 1.0 / n_docs
+            order by score desc, term asc limit 10""",
         "phrase_sloppy_topk": _phrase_sloppy_topk_oracle(toks, PHRASE, 2),
         "phrase_search": f"""
             with tk as (select doc_id, {toks} as toks from documents),
@@ -1864,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix_topk": q_prefix_topk,
         "ft_fuzzy_topk": q_fuzzy_topk,
         "ft_facets": q_facet_counts,
+        "ft_significant_terms": q_significant_terms,
         "ft_wildcard_topk": q_wildcard_topk,
         "ft_more_like_this": q_more_like_this,
         "ft_highlight": q_highlight,

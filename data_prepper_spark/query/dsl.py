@@ -931,9 +931,28 @@ def aggregations(
     hits = comp.compile(dsl).select("doc_id")
     docs = comp.io.read(spark, "docs")
     matched_all = docs.join(hits, "doc_id", "left_semi")
-    return {
-        name: _bucket_agg(spark, matched_all, spec) for name, spec in aggs.items()
-    }
+    out: dict[str, DataFrame] = {}
+    for name, spec in aggs.items():
+        kind = next(iter(spec.keys() - {"aggs"}), None)
+        if kind == "significant_terms":
+            # foreground = this query's match set; background = the
+            # prebuilt dictionary (multiterm.significant_terms shape)
+            from .multiterm import _significant_from_hits
+
+            body = spec[kind]
+            if body.get("field", "content") != "content":
+                raise ValueError(
+                    "significant_terms supports the indexed text field "
+                    "'content' only"
+                )
+            out[name] = _significant_from_hits(
+                spark, comp.io, hits, comp.n_docs,
+                size=int(body.get("size", 10)),
+                min_doc_count=int(body.get("min_doc_count", 3)),
+            )
+        else:
+            out[name] = _bucket_agg(spark, matched_all, spec)
+    return out
 
 
 def aggregations_adhoc(

@@ -523,3 +523,145 @@ def wildcard_topk_adhoc(
     return _pred_topk_adhoc(
         df, text_col, id_col, lambda t: t.rlike(rx), k, round_to, max_expansions
     )
+
+
+# --------------------------------------------------------------------------
+# significant_terms aggregation (OpenSearch SignificantTermsAggregation)
+# --------------------------------------------------------------------------
+
+
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+    round_to: int | None = None,
+) -> DataFrame:
+    """(term, fg_count, bg_count, score): content terms whose frequency in
+    the match set (docs containing >= 1 analyzed query term, bool-OR match
+    semantics as in facet_counts) deviates most from their corpus
+    background — OpenSearch's significant_terms agg with the default JLH
+    heuristic: score = (fgp - bgp) * fgp / bgp, keeping only terms more
+    frequent in the foreground than the background (fgp > bgp), with
+    fgp = fg_count/fg_total and bgp = bg_count/n_docs.
+
+    Scale shape: foreground counts come from one term-pruned postings
+    join against the match-set ids (postings rows are unique per
+    (term, doc), so count(*) is the doc count), the BACKGROUND from the
+    prebuilt dictionary — never a second corpus scan. The stats scalars
+    ride a broadcast 1-row cross join, no collect."""
+    from .common import load_stats
+
+    io = TableIO(index_dir)
+    qterms = sorted(set(tokenize_py(query_text)))
+    if not qterms:
+        return spark.createDataFrame(
+            [], "term string, fg_count long, bg_count long, score double"
+        )
+    n_docs, _ = load_stats(spark, io)
+    hits = (
+        io.read(spark, "postings")
+        .where(F.col("term").isin(qterms))
+        .select("doc_id")
+        .distinct()
+    )
+    return _significant_from_hits(
+        spark, io, hits, n_docs, size=size,
+        min_doc_count=min_doc_count, round_to=round_to,
+    )
+
+
+def _significant_from_hits(
+    spark: SparkSession,
+    io: TableIO,
+    hits: DataFrame,
+    n_docs: int,
+    size: int = 10,
+    min_doc_count: int = 3,
+    round_to: int | None = None,
+) -> DataFrame:
+    """JLH scoring core shared by ``significant_terms`` (bool-OR match
+    set) and the DSL aggs wiring (arbitrary compiled match set)."""
+    posts = io.read(spark, "postings")
+    fg = (
+        posts.join(hits, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+    )
+    from .common import dict_df
+
+    fg_total = hits.agg(F.count(F.lit(1)).alias("__fgt"))
+    # dict_df = base dictionary + layered segment side dictionaries, so
+    # NRT-added docs' terms have a background too
+    bg = dict_df(spark, io).select("term", F.col("df").alias("bg_count"))
+    fgp = F.col("fg_count") / F.col("__fgt")
+    bgp = F.col("bg_count") / F.lit(float(n_docs))
+    score = (fgp - bgp) * fgp / bgp
+    out = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fg_total))
+        .where(F.col("fg_count") >= min_doc_count)
+        .select("term", "fg_count", "bg_count", score.alias("score"))
+        .where(F.col("score") > 0)
+    )
+    if round_to is not None:
+        out = out.select(
+            "term", "fg_count", "bg_count", F.round("score", round_to).alias("score")
+        )
+    return out.orderBy(F.desc("score"), F.asc("term")).limit(size)
+
+
+def significant_terms_adhoc(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text: str,
+    size: int = 10,
+    min_doc_count: int = 3,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Index-free twin of ``significant_terms`` (parity-tested; the
+    driver-contract oracle path): both fg and bg doc frequencies come
+    from one tokenization pass (array_distinct per doc)."""
+    qterms = sorted(set(tokenize_py(query_text)))
+    spark = df.sparkSession
+    empty = "term string, fg_count long, bg_count long, score double"
+    if not qterms:
+        return spark.createDataFrame([], empty)
+    base = spread(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.array_distinct(tokens_col(text_col)).alias("toks"),
+        )
+    )
+    n_docs = base.count()
+    matched = base.where(
+        F.exists("toks", lambda t: t.isin(qterms))
+    )
+    fg_total = matched.agg(F.count(F.lit(1)).alias("__fgt"))
+    fg = (
+        matched.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+    )
+    bg = (
+        base.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("bg_count"))
+    )
+    fgp = F.col("fg_count") / F.col("__fgt")
+    bgp = F.col("bg_count") / F.lit(float(n_docs))
+    score = (fgp - bgp) * fgp / bgp
+    out = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fg_total))
+        .where(F.col("fg_count") >= min_doc_count)
+        .select("term", "fg_count", "bg_count", score.alias("score"))
+        .where(F.col("score") > 0)
+    )
+    if round_to is not None:
+        out = out.select(
+            "term", "fg_count", "bg_count", F.round("score", round_to).alias("score")
+        )
+    return out.orderBy(F.desc("score"), F.asc("term")).limit(size)

@@ -93,3 +93,43 @@ def test_highlight_snippets(spark, docs_id):
         assert len(toks) <= 6
         assert ("def" in toks) or ("return" in toks)
         assert r["n_hits"] >= 1
+
+
+def test_significant_terms_indexed_equals_adhoc(spark, index_dir, docs_id):
+    from data_prepper_spark.query.multiterm import (
+        significant_terms,
+        significant_terms_adhoc,
+    )
+
+    q = "parse buffer"
+    idxed = significant_terms(spark, index_dir, q, size=15, round_to=6).collect()
+    adhoc = significant_terms_adhoc(
+        docs_id, "content", "did", q, size=15, round_to=6
+    ).collect()
+    assert [(r.term, r.fg_count, r.bg_count, r.score) for r in idxed] == \
+           [(r.term, r.fg_count, r.bg_count, r.score) for r in adhoc]
+    assert idxed, "match set should surface significant terms"
+    # JLH invariants: positive scores only, foreground rate beats background
+    n_docs = docs_id.count()
+    import math
+    for r in idxed:
+        assert r.score > 0 and r.fg_count <= r.bg_count <= n_docs
+    # the query's own terms are maximally concentrated in their match set
+    top_terms = {r.term for r in idxed}
+    assert {"parse", "buffer"} & top_terms
+
+
+def test_significant_terms_dsl_aggs_wiring(spark, index_dir):
+    from data_prepper_spark.query.dsl import aggregations
+    from data_prepper_spark.query.multiterm import significant_terms
+
+    # a bare match query's match set == the bool-OR operator's match set
+    out = aggregations(
+        spark, index_dir, {"match": {"content": "parse buffer"}},
+        {"sig": {"significant_terms": {"field": "content", "size": 15}}},
+    )["sig"].collect()
+    want = significant_terms(spark, index_dir, "parse buffer", size=15).collect()
+    assert [(r.term, r.fg_count, r.bg_count) for r in out] == \
+           [(r.term, r.fg_count, r.bg_count) for r in want]
+    for a, b in zip(out, want):
+        assert abs(a.score - b.score) < 1e-12
