@@ -240,6 +240,15 @@ from sel order by score desc, doc_id asc limit 10
                    cast(sum(n_chars) as bigint) as chars_sum
             from m group by lang
             order by doc_count desc, lang asc limit 10""",
+        "agg_percentiles_chars": f"""
+            with tk as (select doc_id, n_chars, {toks} as toks from documents),
+            m as (select cast(n_chars as double) as v from tk
+                  where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0),
+            q as (select quantile_cont(v, [0.05, 0.25, 0.5, 0.75, 0.95]) as vs from m)
+            select cast(p.percent as double) as percent, round(q.vs[p.i], 4) as value
+            from q cross join (values (1, 5.0), (2, 25.0), (3, 50.0),
+                                      (4, 75.0), (5, 95.0)) p(i, percent)
+            order by p.percent""",
         "agg_range_chars": f"""
             with tk as (select doc_id, n_chars, {toks} as toks from documents),
             m as (select n_chars from tk
@@ -1816,6 +1825,22 @@ def q_agg_terms_substats(spark, sf_dir):
     )["by_lang"]
 
 
+def q_agg_percentiles_chars(spark, sf_dir):
+    """OpenSearch percentiles aggregation over the match set (exact
+    linear-interpolated form — quantile_cont semantics; approx=true is
+    the t-digest-class scale path, pytest-covered)."""
+    from pyspark.sql import functions as F
+
+    from data_prepper_spark.query.dsl import aggregations_adhoc
+
+    out = aggregations_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY,
+        {"pct": {"percentiles": {"field": "n_chars",
+                                 "percents": [5, 25, 50, 75, 95]}}},
+    )["pct"]
+    return out.select("percent", F.round("value", 4).alias("value"))
+
+
 def q_agg_range_chars(spark, sf_dir):
     """OpenSearch range aggregation (from-inclusive / to-exclusive,
     empty buckets reported) over the match set of the standard query
@@ -1936,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_search_highlight": q_dsl_search_highlight,
         "dsl_search_after": q_dsl_search_after,
         "agg_terms_substats": q_agg_terms_substats,
+        "agg_percentiles_chars": q_agg_percentiles_chars,
         "agg_range_chars": q_agg_range_chars,
         "agg_histogram_chars": q_agg_histogram_chars,
         "events_date_histogram": q_events_date_histogram,

@@ -1033,6 +1033,39 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
     kind, body = _leaf_body(spec)
     if kind in _METRIC_AGGS:  # top-level single metric over the match set
         return matched.agg(_METRIC_AGGS[kind](body["field"]).alias("value"))
+    if kind == "percentiles":
+        # {"field": f, "percents": [..], "approx": true} -> (percent,
+        # value) rows. Exact linear-interpolated percentile by default
+        # (oracle-comparable: SQL quantile_cont); approx=true switches to
+        # percentile_approx (the t-digest-class sketch OpenSearch uses),
+        # the scale path — exact percentile holds all group values.
+        percents = [float(p) for p in body.get(
+            "percents", [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+        )]
+        fracs = F.array(*[F.lit(p / 100.0) for p in percents])
+        col = F.col(body["field"]).cast("double")
+        fn = F.percentile_approx if body.get("approx") else F.percentile
+        arr = matched.agg(fn(col, fracs).alias("__v"))
+        pdf = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(percents)], "pos int, percent double"
+        )
+        return (
+            arr.select(F.posexplode("__v").alias("pos", "value"))
+            .join(F.broadcast(pdf), "pos")
+            .select("percent", "value")
+            .orderBy("percent")
+        )
+    if kind == "cardinality":
+        # HLL++ approximate distinct (OpenSearch cardinality);
+        # precision_threshold maps onto the sketch's relative error
+        rsd = 0.01 if int(body.get("precision_threshold", 3000)) >= 3000 else 0.05
+        return matched.agg(
+            F.approx_count_distinct(body["field"], rsd).alias("value")
+        )
+    if kind == "missing":
+        return matched.where(F.col(body["field"]).isNull()).agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
     field = body["field"]
     if kind == "terms":
         size = int(body.get("size", 10))

@@ -525,3 +525,38 @@ def test_range_agg_with_sub_metrics_keeps_empty_buckets(spark, dsl_index):
     assert rows["*-1.0"]["doc_count"] == 0 and rows["*-1.0"]["avg_len"] is None
     mid = rows["1.0-100000.0"]
     assert mid["doc_count"] > 0 and 1 <= mid["avg_len"] < 100000
+
+
+def test_percentiles_cardinality_missing_aggs(spark, dsl_index):
+    from data_prepper_spark.query.dsl import aggregations
+
+    out = aggregations(
+        spark, dsl_index, {"match_all": {}},
+        {
+            "pct": {"percentiles": {"field": "doc_len", "percents": [25, 50, 75]}},
+            "pct_approx": {"percentiles": {"field": "doc_len",
+                                           "percents": [50], "approx": True}},
+            "langs": {"cardinality": {"field": "lang"}},
+            "no_lang": {"missing": {"field": "lang"}},
+        },
+    )
+    import pyspark.sql.functions as SF
+
+    from data_prepper_spark.query.dsl import _Compiler
+
+    docs = _Compiler(spark, dsl_index)._docs_df()
+    pct = {r.percent: r.value for r in out["pct"].collect()}
+    want = docs.agg(
+        SF.percentile(SF.col("doc_len").cast("double"),
+                      SF.array(SF.lit(0.25), SF.lit(0.5), SF.lit(0.75))).alias("v")
+    ).collect()[0]["v"]
+    assert [pct[25.0], pct[50.0], pct[75.0]] == list(want)
+    assert pct[25.0] <= pct[50.0] <= pct[75.0]
+    # approx sketch lands near the exact median
+    approx50 = out["pct_approx"].collect()[0]["value"]
+    assert abs(approx50 - pct[50.0]) <= max(5.0, 0.1 * pct[50.0])
+    exact = docs.agg(SF.countDistinct("lang")).collect()[0][0]
+    got = out["langs"].collect()[0]["value"]
+    assert abs(got - exact) <= max(1, round(0.05 * exact))
+    assert out["no_lang"].collect()[0]["doc_count"] == \
+        docs.where(SF.col("lang").isNull()).count()
