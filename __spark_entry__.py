@@ -240,6 +240,18 @@ from sel order by score desc, doc_id asc limit 10
                    cast(sum(n_chars) as bigint) as chars_sum
             from m group by lang
             order by doc_count desc, lang asc limit 10""",
+        "agg_top_hits": f"""
+            with tk as (select doc_id, lang, n_chars, {toks} as toks from documents),
+            m as (select doc_id, lang, n_chars from tk
+                  where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0),
+            b as (select lang, cast(count(*) as bigint) as doc_count
+                  from m group by lang order by doc_count desc, lang asc limit 5),
+            h as (select lang, doc_id, n_chars,
+                         cast(row_number() over (partition by lang
+                              order by n_chars desc, doc_id asc) as int) as hit_rank
+                  from m)
+            select b.lang, b.doc_count, h.doc_id, h.n_chars, h.hit_rank
+            from b join h using(lang) where h.hit_rank <= 2""",
         "agg_percentiles_chars": f"""
             with tk as (select doc_id, n_chars, {toks} as toks from documents),
             m as (select cast(n_chars as double) as v from tk
@@ -1825,6 +1837,20 @@ def q_agg_terms_substats(spark, sf_dir):
     )["by_lang"]
 
 
+def q_agg_top_hits(spark, sf_dir):
+    """OpenSearch top_hits sub-aggregation: per-bucket top-N documents,
+    rendered one row per (bucket, hit) (query/dsl.py _bucket_agg terms
+    branch — per-bucket row_number window on the bucket-key shuffle)."""
+    from data_prepper_spark.query.dsl import aggregations_adhoc
+
+    return aggregations_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY,
+        {"by_lang": {"terms": {"field": "lang", "size": 5},
+                     "aggs": {"top": {"top_hits": {
+                         "size": 2, "sort": [{"n_chars": "desc"}]}}}}},
+    )["by_lang"]
+
+
 def q_agg_percentiles_chars(spark, sf_dir):
     """OpenSearch percentiles aggregation over the match set (exact
     linear-interpolated form — quantile_cont semantics; approx=true is
@@ -1961,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_search_highlight": q_dsl_search_highlight,
         "dsl_search_after": q_dsl_search_after,
         "agg_terms_substats": q_agg_terms_substats,
+        "agg_top_hits": q_agg_top_hits,
         "agg_percentiles_chars": q_agg_percentiles_chars,
         "agg_range_chars": q_agg_range_chars,
         "agg_histogram_chars": q_agg_histogram_chars,

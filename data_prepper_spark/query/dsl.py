@@ -1029,8 +1029,18 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
     may carry an OpenSearch ``aggs`` sibling block of metric sub-aggs,
     computed per bucket in the same groupBy."""
     spec = dict(spec)
-    subs = _sub_agg_cols(spec.pop("aggs", None) or {})
+    sub_specs = dict(spec.pop("aggs", None) or {})
+    top_hits = {
+        n: s for n, s in sub_specs.items() if next(iter(s)) == "top_hits"
+    }
+    for n in top_hits:
+        sub_specs.pop(n)
+    subs = _sub_agg_cols(sub_specs)
     kind, body = _leaf_body(spec)
+    if top_hits and kind != "terms":
+        raise ValueError("top_hits sub-aggregation is supported under terms buckets")
+    if len(top_hits) > 1:
+        raise ValueError("one top_hits sub-aggregation per bucket agg")
     if kind in _METRIC_AGGS:  # top-level single metric over the match set
         return matched.agg(_METRIC_AGGS[kind](body["field"]).alias("value"))
     if kind == "percentiles":
@@ -1069,11 +1079,45 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
     field = body["field"]
     if kind == "terms":
         size = int(body.get("size", 10))
-        return (
+        buckets = (
             matched.groupBy(field)
             .agg(F.count(F.lit(1)).alias("doc_count"), *subs)
             .orderBy(F.desc("doc_count"), F.asc(field))
             .limit(size)
+        )
+        if not top_hits:
+            return buckets
+        # top_hits: per-bucket top-N docs -> one row per (bucket, hit),
+        # the relational rendering of OpenSearch's nested hits array.
+        # row_number over a per-bucket window: the shuffle is on the
+        # bucket key (same key as the agg), bounded by hit_size rows out
+        # per bucket; buckets beyond `size` drop via the join.
+        (_, th), = top_hits.items()
+        th = th["top_hits"]
+        hit_size = int(th.get("size", 3))
+        keys = _parse_sort(th.get("sort", ["_doc"]))
+        if any(c == "score" for c, _ in keys):
+            raise ValueError(
+                "top_hits sort by _score is not available in the aggs "
+                "context (the match set carries no scores); sort by a doc "
+                "attribute or _doc"
+            )
+        order = [F.asc(c) if asc else F.desc(c) for c, asc in keys]
+        need = [
+            c
+            for c in dict.fromkeys(
+                [c for c, _ in keys] + list(th.get("_source") or [])
+            )
+            if c not in ("doc_id", field)
+        ]
+        w = Window.partitionBy(field).orderBy(*order)
+        hits_rows = (
+            matched.select(field, "doc_id", *need)
+            .withColumn("hit_rank", F.row_number().over(w))
+            .where(F.col("hit_rank") <= hit_size)
+        )
+        return buckets.join(hits_rows, field).orderBy(
+            F.desc("doc_count"), F.asc(field), F.asc("hit_rank")
         )
     if kind == "stats":
         return matched.agg(

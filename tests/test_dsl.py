@@ -560,3 +560,46 @@ def test_percentiles_cardinality_missing_aggs(spark, dsl_index):
     assert abs(got - exact) <= max(1, round(0.05 * exact))
     assert out["no_lang"].collect()[0]["doc_count"] == \
         docs.where(SF.col("lang").isNull()).count()
+
+
+def test_top_hits_sub_aggregation(spark, dsl_index):
+    import pyspark.sql.functions as SF
+
+    from data_prepper_spark.query.dsl import _Compiler, aggregations
+
+    dsl = {"match": {"content": "def return"}}
+    out = aggregations(
+        spark, dsl_index, dsl,
+        {"by_lang": {"terms": {"field": "lang", "size": 3},
+                     "aggs": {"top": {"top_hits": {
+                         "size": 2,
+                         "sort": [{"doc_len": "desc"}],
+                         "_source": ["path"]}},
+                         "n_paths": {"value_count": {"field": "path"}}}}},
+    )["by_lang"]
+    rows = out.collect()
+    assert set(out.columns) == {"lang", "doc_count", "n_paths", "doc_id",
+                                "doc_len", "path", "hit_rank"}
+    comp = _Compiler(spark, dsl_index)
+    matched = comp._docs_df().join(
+        comp.compile(dsl).select("doc_id"), "doc_id", "left_semi"
+    )
+    langs = [
+        r["lang"]
+        for r in matched.groupBy("lang").agg(SF.count(SF.lit(1)).alias("n"))
+        .orderBy(SF.desc("n"), SF.asc("lang")).limit(3).collect()
+    ]
+    assert {r.lang for r in rows} == set(langs)
+    for lang in langs:
+        grp = sorted((r for r in rows if r.lang == lang), key=lambda r: r.hit_rank)
+        assert 1 <= len(grp) <= 2
+        want = (
+            matched.where(SF.col("lang") == lang)
+            .orderBy(SF.desc("doc_len"), SF.asc("doc_id"))
+            .limit(2)
+            .collect()
+        )
+        assert [(r.doc_id, r.doc_len) for r in grp] == \
+               [(r.doc_id, r.doc_len) for r in want]
+        assert all(r.doc_count == len(
+            matched.where(SF.col("lang") == lang).collect()) for r in grp)
