@@ -740,6 +740,19 @@ def q_facet_counts(spark, sf_dir):
     )
 
 
+def q_phrase_prefix_topk(spark, sf_dir):
+    """match_phrase_prefix (Lucene MultiPhraseQuery, search-as-you-type):
+    'key tab' — the phrase 'key' followed by any dictionary expansion of
+    'tab' (query/phrase.py phrase_prefix_topk; one union position array
+    for all expansions, so pf sums per-expansion phrase freqs)."""
+    from data_prepper_spark.query.phrase import phrase_prefix_topk_adhoc
+
+    return phrase_prefix_topk_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "key tab",
+        k=10, round_to=4,
+    )
+
+
 def q_significant_terms(spark, sf_dir):
     """OpenSearch significant_terms aggregation (JLH heuristic): content
     terms over-represented in the query's match set vs the corpus
@@ -1155,6 +1168,29 @@ def _textops_oracles() -> dict[str, str]:
             from t
             where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0
             group by lang""",
+        "ft_phrase_prefix_topk": f"""
+            with tk as (select doc_id, {toks} as toks from documents),
+            st as (select count(*) as n, avg(len(toks)) as avgdl from tk),
+            dfs as (select
+                (select count(*) from tk where list_contains(toks, 'key')) as df_key,
+                (select least(sum(df), (select n from st)) from (
+                    select term, count(*) as df from (
+                      select doc_id, unnest(list_distinct(toks)) as term from tk)
+                    where term like 'tab%' group by term)) as df_pre),
+            m as (select doc_id, len(toks) as dl,
+                    len(list_filter(range(len(toks) - 1),
+                        i -> toks[i+1] = 'key' and toks[i+2] like 'tab%')) as pf
+                  from tk),
+            sc as (select m.doc_id, m.pf,
+                     round((ln(1 + (st.n - dfs.df_key + 0.5) / (dfs.df_key + 0.5))
+                          + ln(1 + (st.n - dfs.df_pre + 0.5) / (dfs.df_pre + 0.5)))
+                          * (m.pf * 2.2)
+                          / (m.pf + 1.2 * (1 - 0.75 + 0.75 * m.dl / st.avgdl)),
+                          4) as score
+                   from m cross join st cross join dfs where m.pf > 0)
+            select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+                   doc_id, score, cast(pf as int) as n_matches
+            from sc order by score desc, doc_id asc limit 10""",
         "ft_significant_terms": f"""
             with t as (select doc_id, list_distinct({toks}) as toks from documents),
             stats as (select count(*) as n_docs from t),
@@ -1948,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy_topk": q_fuzzy_topk,
         "ft_facets": q_facet_counts,
         "ft_significant_terms": q_significant_terms,
+        "ft_phrase_prefix_topk": q_phrase_prefix_topk,
         "ft_wildcard_topk": q_wildcard_topk,
         "ft_more_like_this": q_more_like_this,
         "ft_highlight": q_highlight,

@@ -7,6 +7,8 @@ index. Supported (the working subset of a log/code-search deployment):
   {"match":        {"content": "tokens ..."}}                (scoring)
   {"multi_match":  {"query": "...", "fields": ["content^2"]}} (scoring)
   {"match_phrase": {"content": {"query": "...", "slop": n}}} (scoring)
+  {"match_phrase_prefix": {"content": {"query": "...",
+                           "max_expansions": n}}}            (scoring)
   {"prefix":       {"content": "pre"}}                       (scoring)
   {"fuzzy":        {"content": {"value": "term", "fuzziness": n}}} (scoring)
   {"term":  {"<docs attr>": value}}                          (filter)
@@ -121,6 +123,13 @@ class _Compiler:
 
         return phrase_docs(self.spark, self.io.root, text, slop=slop)
 
+    def _phrase_prefix_scores(self, text: str, max_expansions: int) -> DataFrame:
+        from .phrase import phrase_prefix_scores
+
+        return phrase_prefix_scores(
+            self.spark, self.io.root, text, max_expansions
+        ).select("doc_id", "score")
+
     def _expand(self, pred, cap: int) -> list[str]:
         return _expand_terms(self.spark, self.io, pred, cap)
 
@@ -155,6 +164,21 @@ class _Compiler:
             text = spec["query"] if isinstance(spec, dict) else spec
             self._require_content(field, kind)
             return self._score_terms(tokenize_py(text))
+        if kind == "match_phrase_prefix":
+            field, spec = _leaf_body(body)
+            self._require_content(field, kind)
+            if not self._has_positions():
+                raise ValueError(
+                    "match_phrase_prefix requires the positions table; run "
+                    "query.phrase.build_positions over the corpus first"
+                )
+            text = spec["query"] if isinstance(spec, dict) else spec
+            maxe = (
+                int(spec.get("max_expansions", 50))
+                if isinstance(spec, dict)
+                else 50
+            )
+            return self._phrase_prefix_scores(text, maxe)
         if kind == "match_phrase":
             field, spec = _leaf_body(body)
             self._require_content(field, kind)
@@ -513,6 +537,13 @@ class _AdhocCompiler(_Compiler):
 
         return phrase_docs_adhoc(self._src, self._text, self._id, text, slop=slop)
 
+    def _phrase_prefix_scores(self, text: str, max_expansions: int) -> DataFrame:
+        from .phrase import phrase_prefix_scores_adhoc
+
+        return phrase_prefix_scores_adhoc(
+            self._src, self._text, self._id, text, max_expansions
+        ).select("doc_id", "score")
+
     def _expand(self, pred, cap: int) -> list[str]:
         # dictionary = distinct analyzed terms with df, lowest-df-first cap
         # (the same Lucene scoring-boolean rewrite order as the indexed
@@ -832,6 +863,23 @@ def _route_indexed(
             out = bm25_topk_filtered(spark, index_dir, text, pred, k=k)
         else:
             out = bm25_topk_wand(spark, index_dir, text, k=k)
+    elif not filters and kind == "match_phrase_prefix":
+        from ..tableio import TableIO
+        from .phrase import phrase_prefix_topk
+
+        if not TableIO(index_dir).exists("positions"):
+            return None  # compiler raises the documented error
+        field, spec = _leaf_body(body)
+        if field != "content":
+            return None
+        if isinstance(spec, dict):
+            if set(spec) - {"query", "max_expansions", "boost"}:
+                return None
+            text = spec["query"]
+            maxe = int(spec.get("max_expansions", 50))
+        else:
+            text, maxe = spec, 50
+        out = phrase_prefix_topk(spark, index_dir, text, k=k, max_expansions=maxe)
     elif not filters and kind == "match_phrase":
         from ..tableio import TableIO
         from .phrase import phrase_topk

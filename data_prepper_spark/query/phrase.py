@@ -445,3 +445,235 @@ def phrase_topk_adhoc(
         Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
     )
     return topk.select(w.alias("rank"), "doc_id", "score", "n_matches")
+
+
+# --------------------------------------------------------------------------
+# match_phrase_prefix (Lucene MatchPhrasePrefixQuery / MultiPhraseQuery)
+# --------------------------------------------------------------------------
+
+
+def phrase_prefix_scores(
+    spark: SparkSession, index_dir: str, text: str, max_expansions: int = 50
+) -> DataFrame:
+    """Full (doc_id, score, n_matches) for a match_phrase_prefix query:
+    the phrase t1..tn-1 followed by ANY dictionary expansion of the last
+    token as a prefix (search-as-you-type). Expansions are lowest-df-first
+    capped at ``max_expansions`` — Lucene's scoring-boolean rewrite order,
+    same as the prefix/fuzzy family.
+
+    Matching: the lead terms reuse the df-ordered positions join chain;
+    ALL expansions' position arrays flatten into ONE per-doc array (a
+    window's last slot holds exactly one term, so counting windows against
+    the union array equals summing per-expansion phrase freqs — Lucene's
+    MultiPhraseQuery freq). Scoring follows phrase_topk(proximity=True):
+    pf = total occurrences, idf = sum of lead idfs + the prefix position's
+    idf over the summed expansion docFreqs (Lucene sums docFreqs; capped
+    at n_docs to keep the BM25 idf defined).
+
+    Reference: OpenSearch match_phrase_prefix -> Lucene
+    MultiPhraseQuery (MatchQuery.Type.PHRASE_PREFIX)."""
+    from .bm25 import score_expr
+    from .common import idf as _idf
+    from .common import load_stats, query_term_stats
+    from .multiterm import _expand_terms
+
+    io = TableIO(index_dir)
+    empty = "doc_id long, score double, n_matches int"
+    all_terms = tokenize_py(text)
+    if not all_terms:
+        return spark.createDataFrame([], empty)
+    prefix, lead = all_terms[-1], all_terms[:-1]
+    exps = _expand_terms(spark, io, F.col("term").startswith(prefix), max_expansions)
+    if not exps:
+        return spark.createDataFrame([], empty)
+    n_docs, avgdl = load_stats(spark, io)
+    lstats = query_term_stats(spark, io, sorted(set(lead)), n_docs)
+    if any(t not in lstats for t in lead):
+        return spark.createDataFrame([], empty)
+    estats = query_term_stats(spark, io, exps, n_docs)
+    df_cap = min(sum(s["df"] for s in estats.values()), n_docs)
+    sum_idf = sum(lstats[t]["idf"] for t in lead) + _idf(n_docs, df_cap)
+    need = sorted(set(lead) | set(exps))
+    hashes = {
+        r["term"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in need], "term string")
+        .select("term", F.xxhash64("term").alias("h"))
+        .collect()
+    }
+    pos = spark.read.parquet(io.path("positions"))
+    exp_h = spark.createDataFrame(
+        [(hashes[e],) for e in exps], "term_hash long"
+    )
+    n_lead = len(lead)
+    last = (
+        pos.join(F.broadcast(exp_h), "term_hash")
+        .groupBy("shard", "doc_id")
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("positions"))).alias(
+                f"pos_{n_lead}"
+            )
+        )
+    )
+    if lead:
+        order = sorted(range(n_lead), key=lambda j: (lstats[lead[j]]["df"], j))
+        cur = None
+        for j in order:
+            tj = pos.where(F.col("term_hash") == hashes[lead[j]]).select(
+                "shard", "doc_id", F.col("positions").alias(f"pos_{j}")
+            )
+            cur = tj if cur is None else cur.join(tj, ["shard", "doc_id"])
+        cur = cur.join(last, ["shard", "doc_id"])
+        pos_cols = [F.col(f"pos_{j}") for j in range(n_lead + 1)]
+        matched = (
+            cur.withColumn("__m", F.size(_match_filter(pos_cols, 0)))
+            .where(F.col("__m") > 0)
+            .select("doc_id", F.col("__m").cast("int").alias("n_matches"))
+        )
+    else:
+        matched = last.select(
+            "doc_id", F.size(f"pos_{n_lead}").cast("int").alias("n_matches")
+        )
+    dl = TableIO(index_dir).read(spark, "docs").select("doc_id", "doc_len")
+    return matched.join(dl, "doc_id").select(
+        "doc_id",
+        score_expr(
+            F.lit(sum_idf), F.col("n_matches").cast("double"),
+            F.col("doc_len"), avgdl,
+        ).alias("score"),
+        "n_matches",
+    )
+
+
+def phrase_prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    text: str,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """(rank, doc_id, score, n_matches) top-k for match_phrase_prefix."""
+    from pyspark.sql.window import Window
+
+    scored = phrase_prefix_scores(spark, index_dir, text, max_expansions)
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return topk.select(w.alias("rank"), "doc_id", "score", "n_matches")
+
+
+def phrase_prefix_scores_adhoc(
+    docs: DataFrame,
+    content_col: str,
+    id_col: str,
+    text: str,
+    max_expansions: int = 50,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Index-free twin of ``phrase_prefix_scores`` (parity-tested; the
+    oracle path). Expansion selection is a separate df-ordered pass over
+    the corpus' distinct terms (the adhoc dictionary); the main pass
+    collects per-doc position arrays for the lead terms plus ONE union
+    array of all expansion positions."""
+    all_terms = tokenize_py(text)
+    spark = docs.sparkSession
+    empty = "doc_id long, score double, n_matches int"
+    if not all_terms:
+        return spark.createDataFrame([], empty)
+    prefix, lead = all_terms[-1], all_terms[:-1]
+    toked = spread(
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.posexplode_outer(tokens_col(content_col)).alias("pos", "term"),
+        )
+    )
+    exp_rows = (
+        toked.where(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count_distinct("id").alias("df"))
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    exps = [r["term"] for r in exp_rows]
+    if not exps:
+        return spark.createDataFrame([], empty)
+    sum_df_exp = sum(int(r["df"]) for r in exp_rows)
+    uniq = sorted(set(lead))
+    per_doc = toked.groupBy("id").agg(
+        (F.coalesce(F.max("pos"), F.lit(-1)) + 1).alias("dl"),
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+            ).alias(f"pos_{i}")
+            for i, t in enumerate(uniq)
+        ],
+        F.sort_array(
+            F.collect_list(F.when(F.col("term").isin(exps), F.col("pos")))
+        ).alias("pos_P"),
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.size(f"pos_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(uniq))
+        ],
+    )
+    pos_for = {t: F.col(f"pos_{i}") for i, t in enumerate(uniq)}
+    pos_cols = [pos_for[t] for t in lead] + [F.col("pos_P")]
+    matched = per_doc.withColumn(
+        "n_matches", F.size(_match_filter(pos_cols, 0)).cast("int")
+    ).where(F.col("n_matches") > 0)
+    if lead and any(t not in uniq for t in lead):  # unreachable, documents intent
+        return spark.createDataFrame([], empty)
+    from .common import B as _B
+    from .common import K1 as _K1
+
+    idf_terms = [
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df_{uniq.index(t)}") + 0.5)
+            / (F.col(f"df_{uniq.index(t)}") + 0.5)
+        )
+        for t in lead
+    ]
+    df_cap = F.least(F.lit(sum_df_exp), F.col("n"))
+    sum_idf = F.log(F.lit(1.0) + (F.col("n") - df_cap + 0.5) / (df_cap + 0.5))
+    for e in idf_terms:
+        sum_idf = sum_idf + e
+    # a lead term absent from the whole corpus can never phrase-match;
+    # matched is already empty then (its position array is empty per doc)
+    pf = F.col("n_matches").cast("double")
+    score = (
+        sum_idf
+        * (pf * (_K1 + 1))
+        / (pf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return matched.join(F.broadcast(stats)).select(
+        F.col("id").alias("doc_id"), score.alias("score"), "n_matches"
+    )
+
+
+def phrase_prefix_topk_adhoc(
+    docs: DataFrame,
+    content_col: str,
+    id_col: str,
+    text: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k wrapper over ``phrase_prefix_scores_adhoc``."""
+    from pyspark.sql.window import Window
+
+    scored = phrase_prefix_scores_adhoc(
+        docs, content_col, id_col, text, max_expansions, round_to
+    )
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return topk.select(w.alias("rank"), "doc_id", "score", "n_matches")

@@ -603,3 +603,44 @@ def test_top_hits_sub_aggregation(spark, dsl_index):
                [(r.doc_id, r.doc_len) for r in want]
         assert all(r.doc_count == len(
             matched.where(SF.col("lang") == lang).collect()) for r in grp)
+
+
+def test_match_phrase_prefix(spark, dsl_index, corpus_dir):
+    from data_prepper_spark.query.dsl import search, search_adhoc
+    from data_prepper_spark.query.phrase import phrase_prefix_topk
+
+    df = _corpus_df(spark, corpus_dir)
+    dsl = {"match_phrase_prefix": {"content": {"query": "def retu"}}}
+    got = search(spark, dsl_index, dsl, size=10).collect()
+    assert got, "corpus has def return... docs"
+    # single-leaf routing == the dedicated operator
+    want = phrase_prefix_topk(spark, dsl_index, "def retu", k=10).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-9
+    # indexed == adhoc (cap not binding at this corpus size)
+    adhoc = search_adhoc(df, "content", "doc_id", dsl, size=10).collect()
+    assert [(r.rank, r.doc_id) for r in adhoc] == [(r.rank, r.doc_id) for r in got]
+    for a, b in zip(adhoc, got):
+        assert abs(a.score - b.score) < 1e-7
+    # matched docs really contain "def ma*" adjacently
+    from data_prepper_spark.analyzer import tokenize_py as tp
+    texts = {r.doc_id: r.content for r in df.collect()}
+    for r in got[:5]:
+        toks = tp(texts[r.doc_id])
+        assert any(
+            toks[i] == "def" and toks[i + 1].startswith("retu")
+            for i in range(len(toks) - 1)
+        )
+    # single-token prefix degenerates to prefix matching with tf freq
+    got1 = search(
+        spark, dsl_index, {"match_phrase_prefix": {"content": "retur"}}, size=5
+    ).collect()
+    assert got1
+    # compound bool context goes through the general compiler, same leaf
+    comp = search(
+        spark, dsl_index,
+        {"bool": {"must": [dsl], "must_not": [{"match": {"content": "zzzznope"}}]}},
+        size=10,
+    ).collect()
+    assert [(r.rank, r.doc_id) for r in comp] == [(r.rank, r.doc_id) for r in got]
