@@ -321,6 +321,44 @@ def q_q6_revenue(spark, sf_dir):
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
+def q_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the multi-join plan a 100 TB
+    deployment cares about — region/nation/supplier are broadcast (no
+    shuffle for the dim joins), the fact-fact lineitem-orders join
+    shuffles on the order key, the date filter pushes to the orders
+    parquet scan, and c_nationkey = s_nationkey joins customers to LOCAL
+    suppliers before the broadcast nation lookup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        "o_orderdate >= timestamp '1996-01-01' and o_orderdate < timestamp '1998-01-01'"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where("r_name = 'ASIA'")
+    nat = F.broadcast(
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(nat, s["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
 def _tpch_oracles() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -346,6 +384,17 @@ def _tpch_oracles() -> dict[str, str]:
             from lineitem
             where l_shipdate >= timestamp '2000-01-01' and l_shipdate < timestamp '2001-01-01'
               and l_discount between 0.05 and 0.07 and l_quantity < 24""",
+        "q5_local_supplier": """
+            select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from customer join orders on c_custkey = o_custkey
+            join lineitem on l_orderkey = o_orderkey
+            join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+            join nation on s_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            where r_name = 'ASIA'
+              and o_orderdate >= timestamp '1996-01-01'
+              and o_orderdate < timestamp '1998-01-01'
+            group by n_name order by revenue desc""",
     }
 
 
@@ -1957,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_top_revenue": q_q3_top_revenue,
         "q6_revenue": q_q6_revenue,
+        "q5_local_supplier": q_q5_local_supplier,
         "events_parse_json": q_events_parse_json,
         "events_windowed_count": q_events_windowed_count,
         "events_histogram": q_events_histogram,
