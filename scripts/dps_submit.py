@@ -75,6 +75,18 @@ def main() -> None:
     bp.add_argument("--index", required=True)
     bp.add_argument("--n-shards", type=int, default=64)
 
+    s = sub.add_parser(
+        "search",
+        help="OpenSearch search-body request (query DSL / Lucene query_string)",
+    )
+    s.add_argument("--index", required=True)
+    s.add_argument("--body", default=None,
+                   help='search body JSON: {"query": ..., "sort": ..., '
+                        '"size"/"from"/"search_after"/"_source": ...}')
+    s.add_argument("--q", default=None,
+                   help="Lucene query_string shorthand, e.g. '+key table pre* -lang:go'")
+    s.add_argument("--size", type=int, default=10)
+
     args = ap.parse_args()
 
     from data_prepper_spark.session import get_spark
@@ -138,6 +150,22 @@ def main() -> None:
         for qtext in args.q:
             print(f"phrase: {qtext!r}")
             phrase_topk(spark, args.index, qtext, args.k).show(args.k, truncate=False)
+    elif args.cmd == "search":
+        import json
+
+        from data_prepper_spark.query.dsl import search_body
+
+        if (args.body is None) == (args.q is None):
+            ap.error("search needs exactly one of --body / --q")
+        body = (
+            json.loads(args.body)
+            if args.body is not None
+            else {"query": {"query_string": {"query": args.q}}}
+        )
+        body.setdefault("size", args.size)
+        search_body(spark, args.index, body).show(
+            int(body["size"]), truncate=False
+        )
     elif args.cmd == "build-positions":
         from data_prepper_spark.query.phrase import build_positions
 
