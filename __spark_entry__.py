@@ -323,11 +323,12 @@ def q_q6_revenue(spark, sf_dir):
 
 def q_q5_local_supplier(spark, sf_dir):
     """TPC-H Q5 (local supplier volume): the multi-join plan a 100 TB
-    deployment cares about — region/nation/supplier are broadcast (no
-    shuffle for the dim joins), the fact-fact lineitem-orders join
-    shuffles on the order key, the date filter pushes to the orders
-    parquet scan, and c_nationkey = s_nationkey joins customers to LOCAL
-    suppliers before the broadcast nation lookup."""
+    deployment cares about — region/nation are hint-broadcast (fixed-size
+    dims, no shuffle), supplier is left to AQE's size threshold (it
+    scales with SF), the fact-fact lineitem-orders join shuffles on the
+    order key, the date filter pushes to the orders parquet scan, and
+    c_nationkey = s_nationkey joins customers to LOCAL suppliers before
+    the broadcast nation lookup."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(
         "o_orderdate >= timestamp '1996-01-01' and o_orderdate < timestamp '1998-01-01'"
@@ -344,7 +345,12 @@ def q_q5_local_supplier(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            # no broadcast hint: supplier scales with SF (10k rows x SF),
+            # so at a 100x scale-up a forced broadcast ships a too-large
+            # side to every executor. AQE's size threshold decides instead
+            # (it still broadcasts at bench SF); nation/region stay hinted
+            # as genuinely fixed-size dims.
+            s,
             (li["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )

@@ -211,9 +211,14 @@ def minhash_lsh_pairs(
         )
         if verify_threshold is None:
             return pairs.select("id_a", "id_b")
+        # LEFT join: jaccard_on_pairs emits no row for pairs with zero
+        # common shingles, and a star connectivity edge whose rep/member
+        # share none (pure band collision) must still survive — an inner
+        # join would drop it despite the __star exemption.
         j = jaccard_on_pairs(pairs.select("id_a", "id_b"), sh)
         return (
-            j.join(pairs, ["id_a", "id_b"])
+            pairs.join(j, ["id_a", "id_b"], "left")
+            .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
             .where((F.col("jaccard") >= verify_threshold) | F.col("__star"))
             .select("id_a", "id_b", "jaccard")
         )

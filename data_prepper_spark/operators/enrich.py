@@ -312,14 +312,31 @@ def geo_enrich_mmdb(
                     pdf[c] = pd.Series(dtype="object")
                 yield pdf
                 continue
-            parts = pdf[ip_col].str.split(".", expand=True).astype("int64")
-            ips = (
-                parts[0].to_numpy() * 16777216
-                + parts[1].to_numpy() * 65536
-                + parts[2].to_numpy() * 256
-                + parts[3].to_numpy()
-            )
-            recs = reader.lookup_batch(ips)
+            # Null / malformed / IPv6 values must degrade to null
+            # enrichment (like the range-table twin's cast-to-null left
+            # join and the reference's per-event tagging of lookup
+            # failures), not crash the job: mask down to valid dotted
+            # quads first, look up only those.
+            s = pdf[ip_col].astype("object").astype("string")
+            valid = s.str.fullmatch(r"\d{1,3}(\.\d{1,3}){3}").fillna(False)
+            if valid.any():
+                parts = s[valid].str.split(".", expand=True).astype("int64")
+                octs = [parts[i].to_numpy() for i in range(4)]
+                in_range = (
+                    (octs[0] <= 255) & (octs[1] <= 255)
+                    & (octs[2] <= 255) & (octs[3] <= 255)
+                )
+                ips = (
+                    octs[0] * 16777216 + octs[1] * 65536
+                    + octs[2] * 256 + octs[3]
+                )[in_range]
+                hits = reader.lookup_batch(ips) if len(ips) else []
+                idx = parts.index.to_numpy()[in_range]
+            else:
+                hits, idx = [], np.array([], dtype="int64")
+            recs = pd.Series([None] * len(pdf), index=pdf.index, dtype="object")
+            if len(idx):
+                recs.loc[idx] = pd.Series(list(hits), index=idx, dtype="object")
             for c, path in out_fields:
                 pdf[c] = [dig(r, path) if r is not None else None for r in recs]
             yield pdf

@@ -703,8 +703,18 @@ def _after_predicate(keys: list[tuple[str, bool]], values: list) -> Any:
     pred, eq = F.lit(False), F.lit(True)
     for (col, asc), v in zip(keys, values):
         c = F.col(col)
-        pred = pred | (eq & ((c > v) if asc else (c < v)))
-        eq = eq & (c == v)
+        if v is None:
+            # Cursor sits on a null sort key: with nulls-last ordering
+            # nothing with a non-null key comes after it; null keys tie.
+            past, ties = F.lit(False), c.isNull()
+        else:
+            # Null keys sort last (both directions), so they are strictly
+            # after any non-null cursor value; (c > v) alone would be NULL
+            # for them and silently drop the row from every page.
+            past = c.isNull() | ((c > v) if asc else (c < v))
+            ties = c.eqNullSafe(F.lit(v))
+        pred = pred | (eq & past)
+        eq = eq & ties
     return pred
 
 
@@ -737,7 +747,9 @@ def _search_body(compiler: _Compiler, body: dict, round_to: int | None) -> DataF
         full = full.join(compiler._docs_df().select("doc_id", *need), "doc_id")
     if body.get("search_after") is not None:
         full = full.where(_after_predicate(keys, list(body["search_after"])))
-    order = [F.asc(c) if asc else F.desc(c) for c, asc in keys]
+    # OpenSearch sorts missing values last by default; Spark's bare
+    # asc() puts nulls FIRST, which would also break _after_predicate.
+    order = [F.asc_nulls_last(c) if asc else F.desc_nulls_last(c) for c, asc in keys]
     topn = full.orderBy(*order).limit(from_ + size)
     w = F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(*order))
     return topn.select(w.alias("rank"), "doc_id", "score", *need).where(
@@ -1150,7 +1162,8 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
                 "context (the match set carries no scores); sort by a doc "
                 "attribute or _doc"
             )
-        order = [F.asc(c) if asc else F.desc(c) for c, asc in keys]
+        # nulls last, matching OpenSearch's missing-values-last default
+        order = [F.asc_nulls_last(c) if asc else F.desc_nulls_last(c) for c, asc in keys]
         need = [
             c
             for c in dict.fromkeys(
@@ -1203,11 +1216,15 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
             )
             for key, lo, hi in specs
         ]
+        # collision-proof internal alias: the match-set table may already
+        # carry a column named "key" (e.g. key_value output), which would
+        # make the bare groupBy("key") ambiguous
         counted = (
-            matched.select(F.explode(F.array(*conds)).alias("key"), "*")
-            .where(F.col("key").isNotNull())
-            .groupBy("key")
+            matched.select(F.explode(F.array(*conds)).alias("__range_key"), "*")
+            .where(F.col("__range_key").isNotNull())
+            .groupBy("__range_key")
             .agg(F.count(F.lit(1)).alias("doc_count"), *subs)
+            .withColumnRenamed("__range_key", "key")
         )
         rdf = spark.createDataFrame(specs, "key string, from double, to double")
         sub_names = [c for c in counted.columns if c not in ("key", "doc_count")]

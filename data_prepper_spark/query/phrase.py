@@ -160,21 +160,39 @@ def phrase_docs(
         return spark.createDataFrame([], empty)
     from .common import dict_df
 
-    df_by_term: dict[str, int] = {}
     rows = (
         dict_df(spark, io)
         .where(F.col("term").isin(sorted(set(terms))))
-        .select("term", "df")
+        .select("term", "df", "term_hash")
         .collect()
     )
     df_by_term = {r["term"]: int(r["df"]) for r in rows}
+    hash_by_term = {r["term"]: int(r["term_hash"]) for r in rows}
+    missing = sorted({t for t in terms if t not in hash_by_term})
+    if missing:
+        from .common import segdict_path
+
+        if io.exists("dictionary") or segdict_path(io) is not None:
+            # a term absent from the dictionary has no postings at all,
+            # so the phrase cannot match — skip the join chain entirely
+            return spark.createDataFrame([], empty)
+        # positions-only directory (no dictionary): hash ALL missing
+        # terms in ONE driver job, never one spark.range job per term
+        hrows = (
+            spark.createDataFrame([(t,) for t in missing], "term string")
+            .select("term", F.xxhash64("term").alias("h"))
+            .collect()
+        )
+        hash_by_term.update({r["term"]: int(r["h"]) for r in hrows})
     join_order = sorted(
         range(len(terms)), key=lambda j: (df_by_term.get(terms[j], 1 << 60), j)
     )
     pos = spark.read.parquet(io.path("positions"))
     cur = None
     for j in join_order:
-        h = _term_hash_literal(spark, terms[j])
+        # term hashes ride the dictionary collect above — ONE driver job
+        # for the whole phrase, not one spark.range(1) job per term
+        h = hash_by_term[terms[j]]
         tj = (
             pos.where(F.col("term_hash") == h)
             .select("shard", "doc_id", F.col("positions").alias(f"pos_{j}"))
@@ -188,11 +206,6 @@ def phrase_docs(
         # matches weigh 1.0, each extra gap divides the weight)
         sel.append(_sloppy_freq(pos_cols, slop).alias("sloppy_freq"))
     return matched.select(*sel)
-
-
-def _term_hash_literal(spark: SparkSession, term: str):
-    """xxhash64 of a literal term, computed JVM-side once (driver)."""
-    return spark.range(1).select(F.xxhash64(F.lit(term))).collect()[0][0]
 
 
 def phrase_topk(

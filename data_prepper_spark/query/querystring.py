@@ -187,6 +187,15 @@ class _Parser:
                     raise ValueError(
                         f"wildcards on non-indexed field {field!r} are unsupported"
                     )
+                if "boost" in t or "fuzz" in t:
+                    # attribute leaves compile to filter context (no score),
+                    # so a boost/fuzziness there would be silently ignored —
+                    # fail loudly like the wildcard case above
+                    raise ValueError(
+                        f"boost/fuzziness on non-indexed field {field!r} is "
+                        "unsupported (attribute leaves are filters and carry "
+                        "no score)"
+                    )
                 return {"term": {field: _num(val)}}
             boost = float(t["boost"]) if "boost" in t else None
             if "fuzz" in t:

@@ -1,0 +1,153 @@
+"""Round-5 fixes: ADVICE r4 findings (mmdb bad-IP degradation,
+query_string modifier drop on attribute fields, nulls-last search_after
+pagination, zero-overlap star-edge survival, range-agg key collision)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ geoip mmdb --
+def test_geo_enrich_mmdb_bad_ips_degrade_to_null(spark, tmp_path):
+    """Null, malformed, out-of-range, and IPv6 values must enrich to null
+    (like the range-table twin's cast-to-null left join), not crash."""
+    from data_prepper_spark.operators.enrich import geo_enrich_mmdb
+    from data_prepper_spark.operators.mmdb import write_mmdb
+
+    p = str(tmp_path / "bad.mmdb")
+    write_mmdb(p, [("10.0.0.0/8", {"country": {"iso_code": "US"}})])
+    rows = [
+        (0, "10.1.2.3"),       # valid, in net
+        (1, None),             # null
+        (2, "not-an-ip"),
+        (3, "999.1.2.3"),      # octet out of range
+        (4, "1.2.3"),          # short
+        (5, "::1"),            # IPv6
+        (6, "10.255.0.1"),     # valid, in net
+        (7, "11.0.0.1"),       # valid, miss
+    ]
+    df = spark.createDataFrame(rows, "id long, ip string")
+    got = {
+        r.id: r.country
+        for r in geo_enrich_mmdb(df, "ip", p, {"country": "country.iso_code"})
+        .select("id", "country").collect()
+    }
+    assert got == {0: "US", 1: None, 2: None, 3: None, 4: None,
+                   5: None, 6: "US", 7: None}
+
+
+# ----------------------------------------------------------- query_string --
+def test_query_string_boost_fuzz_on_attribute_raises():
+    """Boost / fuzziness on a non-indexed (attribute) field used to be
+    silently dropped; now it fails loudly like the wildcard case."""
+    from data_prepper_spark.query.querystring import parse_query_string
+
+    with pytest.raises(ValueError, match="boost/fuzziness"):
+        parse_query_string("lang:en^2")
+    with pytest.raises(ValueError, match="boost/fuzziness"):
+        parse_query_string("lang:foo~1")
+    # boost/fuzz on the DEFAULT (indexed) field still parses
+    t = parse_query_string("hello^2")
+    assert t == {"match": {"content": {"query": "hello", "boost": 2.0}}}
+    assert "fuzzy" in parse_query_string("hello~1")
+
+
+# ------------------------------------------------- nulls-last search_after --
+def test_search_after_null_sort_keys_paginate(spark):
+    """Docs with a missing sort field sort LAST (OpenSearch default) and
+    every doc is reachable exactly once through search_after pages."""
+    from data_prepper_spark.query.dsl import search_body_adhoc
+
+    rows = [
+        (1, "alpha beta", 30),
+        (2, "alpha beta", None),
+        (3, "alpha beta", 10),
+        (4, "alpha beta", None),
+        (5, "alpha beta", 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string, size int")
+    body = {
+        "query": {"match_all": {}},
+        "sort": [{"size": "asc"}, {"_doc": "asc"}],
+        "size": 2,
+        "_source": ["size"],
+    }
+    seen = []
+    cursor = None
+    for _ in range(5):
+        b = dict(body)
+        if cursor is not None:
+            b["search_after"] = cursor
+        page = search_body_adhoc(df, "content", "doc_id", b).orderBy("rank").collect()
+        if not page:
+            break
+        seen += [(r.doc_id, r.size) for r in page]
+        cursor = [page[-1].size, page[-1].doc_id]
+    # non-null sizes ascending first, then the null-size docs by doc_id
+    assert seen == [(3, 10), (5, 20), (1, 30), (2, None), (4, None)]
+
+
+# ------------------------------------------------------------------ dedupe --
+def test_capped_verify_keeps_zero_overlap_star_edges(spark, monkeypatch):
+    """A star connectivity edge whose rep/member share no shingles emits
+    no jaccard_on_pairs row; the left-join + coalesce must keep it (an
+    inner join silently dropped it)."""
+    import data_prepper_spark.operators.dedupe as dd
+
+    real = dd.jaccard_on_pairs
+
+    def no_overlap(pairs, sh):
+        # simulate the zero-common-shingles case: no jaccard row at all
+        return real(pairs, sh).where(F.lit(False))
+
+    monkeypatch.setattr(dd, "jaccard_on_pairs", no_overlap)
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, t1) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "id long, content string")
+    out = dd.minhash_lsh_pairs(
+        df, "content", "id",
+        num_perm=16, bands=4, shingle_n=3,
+        verify_threshold=0.5,
+        max_bucket_size=3,  # identical docs -> every bucket oversized
+    ).collect()
+    # all duplicate docs land in oversized buckets -> star edges to the
+    # min-id rep; with jaccard rows suppressed they must still survive
+    got = {(r.id_a, r.id_b) for r in out}
+    assert got == {(1, i) for i in range(2, 7)}
+    assert all(r.jaccard == 0.0 for r in out)
+
+
+# ----------------------------------------------------------- range agg key --
+def test_range_agg_on_table_with_key_column(spark):
+    """A match set that already carries a column named 'key' must not
+    break the range agg's internal exploded bucket key."""
+    from data_prepper_spark.query.dsl import bucket_agg_adhoc
+
+    rows = [(i, f"k{i}", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, key string, v double")
+    out = bucket_agg_adhoc(
+        df,
+        {"range": {"field": "v", "ranges": [
+            {"to": 3}, {"from": 3, "to": 7}, {"from": 7},
+        ]}},
+    ).orderBy(F.asc_nulls_first("from")).collect()
+    assert [(r.key, r.doc_count) for r in out] == [
+        ("*-3.0", 3), ("3.0-7.0", 4), ("7.0-*", 3),
+    ]
+
+
+# -------------------------------------------------------------- q5 hints --
+def test_q5_broadcast_hints_nation_region_only(spark):
+    """r5: supplier scales with SF, so the explicit broadcast hint stays
+    only on the fixed-size dims (region + the nation-region lookup); AQE
+    decides supplier at runtime (VERDICT r4 wrong #3)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q5_local_supplier"](spark, "/root/testdata/sf0.001")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly two resolved broadcast hints: broadcast(region) and
+    # broadcast(nation join region); none on supplier
+    assert analyzed.count("ResolvedHint") == 2
+    # result stays correct without the supplier hint
+    assert df.count() > 0
