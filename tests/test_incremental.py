@@ -114,11 +114,13 @@ def test_streaming_index_updates(spark, corpus_dir, tmp_path):
 
     out = str(tmp_path / "idx_stream")
     ckpt = str(tmp_path / "ckpt")
-    schema = spark.read.parquet(corpus_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(corpus_dir)
+    # built through the r5 connector seam (sources.read_stream_source):
+    # same wiring a kafka/file deployment would use, options pass through
+    from data_prepper_spark.sources import read_stream_source
+
+    stream = read_stream_source(
+        spark, "file", path=corpus_dir, codec="parquet",
+        options={"maxFilesPerTrigger": "1"},
     )
     q = (
         index_stream_writer(stream, out, n_shards=8, checkpoint_dir=ckpt)
