@@ -54,16 +54,58 @@ def extract_metadata(df: DataFrame, payload_col: str = "payload", modality: str 
     return df.mapInPandas(run, META_SCHEMA)
 
 
+def _have_pillow() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload", fake: bool = True) -> DataFrame:
-    """STUB: image decode -> (id, width, height, mean_luma).
+    """Image decode -> (id, width, height, mean_luma).
 
     With ``fake=True`` produces a deterministic fake (dimensions derived
-    from payload bytes) so downstream plumbing is testable; ``fake=False``
-    raises NotImplementedError until a codec library (Pillow/opencv) is
-    provisioned on the cluster.
+    from payload bytes) so downstream plumbing is testable without codec
+    libraries. With ``fake=False`` the REAL decode runs via Pillow when
+    importable on the executors (r5: optional-dep activation — provision
+    Pillow on the cluster and this path lights up with no code change);
+    if Pillow is absent it raises the capability NotImplementedError.
+    Undecodable payloads yield null columns (per-row failure tagging,
+    like the reference's processors) rather than failing the batch.
     """
     if not fake:
-        raise NotImplementedError("image decoding requires Pillow/opencv on executors")
+        if not _have_pillow():
+            raise NotImplementedError(
+                "image decoding requires Pillow (or opencv) on executors: "
+                "pip install pillow"
+            )
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            def one(x):
+                try:
+                    im = Image.open(io.BytesIO(bytes(x)))
+                    g = im.convert("L")
+                    px = g.resize((16, 16)).getdata()  # bounded luma sample
+                    return im.width, im.height, sum(px) / len(px)
+                except Exception:
+                    return None, None, None
+
+            for b in batches:
+                w, h, luma = [], [], []
+                for x in b[payload_col]:
+                    a, c, d = one(x)
+                    w.append(a), h.append(c), luma.append(d)
+                yield pd.DataFrame(
+                    {"id": b["id"], "width": w, "height": h, "mean_luma": luma}
+                )
+
+        return df.mapInPandas(run_real, "id long, width int, height int, mean_luma double")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -306,7 +306,8 @@ PROCESSORS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
         df, c["source"], patterns=c.get("patterns"), mask=c.get("mask", "***"), when=_gate(c)
     ),
     "user_agent": lambda df, c: user_agent(
-        df, c["source"], target=c.get("target", "user_agent")
+        df, c["source"], target=c.get("target", "user_agent"),
+        regexes_yaml=c.get("database_path"),
     ),
     "aggregate": _p_aggregate,
     "anomaly_detector": _p_anomaly,
