@@ -280,6 +280,81 @@ from sel order by score desc, doc_id asc limit 10
             select floor(n_chars / 300.0) * 300.0 as key,
                    count(*) as doc_count
             from m group by 1 order by 1""",
+        "dsl_dis_max": f"""
+with tk as ({base}),
+dl as (select doc_id, len(toks) as dl from tk),
+posts as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest(toks) as term from tk)
+  where term in ('key', 'scan', 'table', 'value') group by doc_id, term),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+tdf as (select term, count(*) as df from posts group by term),
+per as (
+  select p.doc_id, p.term,
+         ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) as sc
+  from posts p join tdf t using(term) join dl d using(doc_id) cross join stats s),
+ca as (select doc_id, sum(sc) as s from per where term in ('key', 'value') group by doc_id),
+cb as (select doc_id, sum(sc) as s from per where term in ('table', 'scan') group by doc_id),
+u as (select coalesce(ca.doc_id, cb.doc_id) as doc_id,
+             greatest(coalesce(ca.s, -1e308), coalesce(cb.s, -1e308)) as mx,
+             coalesce(ca.s, 0) + coalesce(cb.s, 0) as sm
+      from ca full outer join cb on ca.doc_id = cb.doc_id),
+scored as (select doc_id, round(mx + 0.3 * (sm - mx), 4) as score from u)
+select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+       doc_id, score
+from scored order by score desc, doc_id asc limit 10
+""",
+        "dsl_boosting": f"""
+with tk as ({base}),
+dl as (select doc_id, len(toks) as dl from tk),
+posts as (
+  select doc_id, term, count(*) as tf
+  from (select doc_id, unnest(toks) as term from tk)
+  where term in ('key', 'table') group by doc_id, term),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+tdf as (select term, count(*) as df from posts group by term),
+agg as (
+  select p.doc_id, sum(ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) as s
+  from posts p join tdf t using(term) join dl d using(doc_id) cross join stats s
+  group by p.doc_id),
+scored as (
+  select a.doc_id,
+         round(a.s * case when d.lang = 'fr' then 0.4 else 1.0 end, 4) as score
+  from agg a join documents d using(doc_id))
+select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+       doc_id, score
+from scored order by score desc, doc_id asc limit 10
+""",
+        "agg_filters_buckets": f"""
+            with tk as (select doc_id, lang, n_chars, {toks} as toks from documents),
+            m as (select lang, n_chars from tk
+                  where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0),
+            b(key) as (values ('short'), ('fr'), ('tagged')),
+            agg as (
+              select 'short' as key, cast(count(*) as bigint) as doc_count,
+                     round(avg(n_chars), 4) as chars from m where n_chars < 800
+              union all
+              select 'fr', cast(count(*) as bigint), round(avg(n_chars), 4)
+              from m where lang = 'fr'
+              union all
+              select 'tagged', cast(count(*) as bigint), round(avg(n_chars), 4)
+              from m where lang is not null)
+            select b.key, coalesce(a.doc_count, 0) as doc_count, a.chars
+            from b left join agg a using(key) order by b.key""",
+        "agg_extended_stats": f"""
+            with tk as (select doc_id, n_chars, {toks} as toks from documents),
+            m as (select n_chars from tk
+                  where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0)
+            select cast(count(n_chars) as bigint) as "count",
+                   min(n_chars) as "min", max(n_chars) as "max",
+                   round(avg(n_chars), 4) as "avg",
+                   cast(sum(n_chars) as bigint) as "sum",
+                   round(sum(cast(n_chars as double) * n_chars), 2) as sum_of_squares,
+                   round(var_pop(n_chars), 2) as variance,
+                   round(stddev_pop(n_chars), 4) as std_deviation
+            from m""",
     }
 
 
@@ -1830,6 +1905,19 @@ def _extra_oracles() -> dict[str, str]:
                     where traceGroup is not null group by traceId)
             select s.spanId, coalesce(s.traceGroup, i.tg) as traceGroup
             from spans s left join idx i on s.traceId = i.traceId""",
+        "otlp_trace_decode": """
+            select printf('%032x', user_id) as traceId,
+                   printf('%016x', event_id) as spanId,
+                   case when event_id % 3 <> 0
+                        then printf('%016x', (event_id // 7) * 7) end as parentSpanId,
+                   event_type as name,
+                   cast(event_id % 5 as int) as kind,
+                   1000 * event_id as startTime,
+                   1000 * event_id + 10 * (user_id + 1) as endTime,
+                   10 * (user_id + 1) as durationInNanos,
+                   event_type as serviceName,
+                   cast(event_id % 3 as int) as statusCode
+            from events""",
         "pipeline_yaml_trace": f"""
             with spans as ({spans_sql}),
             roots as (select * from spans where parentSpanId is null
@@ -2081,6 +2169,112 @@ def q_agg_histogram_chars(spark, sf_dir):
     )["h"]
 
 
+def q_dsl_dis_max(spark, sf_dir):
+    """Lucene DisjunctionMaxQuery through the DSL compiler: score = best
+    sub-query score + tie_breaker * the rest (query/dsl.py compile
+    dis_max branch — one union + one groupBy, no N-way join)."""
+    from data_prepper_spark.query.dsl import search_adhoc
+
+    return search_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        {"dis_max": {"queries": [
+            {"match": {"content": "key value"}},
+            {"match": {"content": "table scan"}},
+        ], "tie_breaker": 0.3}},
+        size=10, round_to=4,
+    )
+
+
+def q_dsl_boosting(spark, sf_dir):
+    """Lucene BoostingQuery: negative matches demote (score *
+    negative_boost) instead of excluding — the down-ranking primitive
+    must_not can't express (query/dsl.py compile boosting branch)."""
+    from data_prepper_spark.query.dsl import search_adhoc
+
+    return search_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        {"boosting": {
+            "positive": {"match": {"content": "key table"}},
+            "negative": {"term": {"lang": "fr"}},
+            "negative_boost": 0.4,
+        }},
+        size=10, round_to=4,
+    )
+
+
+def q_agg_filters_buckets(spark, sf_dir):
+    """OpenSearch filters aggregation: named filter buckets (a doc may
+    land in several; empty buckets kept) with a metric sub-agg, all
+    branches of one scan (query/dsl.py _bucket_agg filters branch)."""
+    from data_prepper_spark.query.dsl import aggregations_adhoc
+
+    out = aggregations_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY,
+        {"f": {"filters": {"filters": {
+            "short": {"range": {"n_chars": {"lt": 800}}},
+            "fr": {"term": {"lang": "fr"}},
+            "tagged": {"exists": {"field": "lang"}},
+        }}, "aggs": {"chars": {"avg": {"field": "n_chars"}}}}},
+    )["f"]
+    return out.select("key", "doc_count", F.round("chars", 4).alias("chars"))
+
+
+def q_agg_extended_stats(spark, sf_dir):
+    """OpenSearch extended_stats over the match set: stats +
+    sum_of_squares + population variance/std-deviation in ONE aggregate
+    pass (query/dsl.py _bucket_agg extended_stats branch)."""
+    from data_prepper_spark.query.dsl import aggregations_adhoc
+
+    out = aggregations_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY,
+        {"es": {"extended_stats": {"field": "n_chars"}}},
+    )["es"]
+    return out.select(
+        "count", "min", "max", F.round("avg", 4).alias("avg"), "sum",
+        F.round("sum_of_squares", 2).alias("sum_of_squares"),
+        F.round("variance", 2).alias("variance"),
+        F.round("std_deviation", 4).alias("std_deviation"),
+    )
+
+
+def q_otlp_trace_decode(spark, sf_dir):
+    """OTLP protobuf trace decode with NO jar: deterministic
+    ExportTraceServiceRequest payloads are wire-encoded from events
+    (operators/otlp.py encode_traces_payload, the fixture writer), then
+    decoded by the pure-Python wire reader (decode_otlp_traces — the
+    otel-proto-common analog, reference otel-proto-common/.../
+    OTelProtoCodec.java). The oracle recomputes every decoded field
+    straight from events, so the round-trip proves the decoder against
+    the public wire format."""
+    import pandas as pd
+
+    from data_prepper_spark.operators.otlp import (
+        decode_otlp_traces,
+        encode_traces_payload,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+
+    def enc(batches):
+        for b in batches:
+            payloads = []
+            for u, e, t in zip(b["user_id"], b["event_id"], b["event_type"]):
+                u, e = int(u), int(e)
+                span = dict(
+                    trace_id=u.to_bytes(16, "big"),
+                    span_id=e.to_bytes(8, "big"),
+                    name=t, kind=e % 5,
+                    start=1000 * e, end=1000 * e + 10 * (u + 1),
+                    status=e % 3,
+                )
+                if e % 3 != 0:
+                    span["parent_span_id"] = ((e // 7) * 7).to_bytes(8, "big")
+                payloads.append(encode_traces_payload(t, [span]))
+            yield pd.DataFrame({"payload": payloads})
+
+    return decode_otlp_traces(ev.mapInPandas(enc, "payload binary"))
+
+
 def q_events_date_histogram(spark, sf_dir):
     """OpenSearch date_histogram with a fixed_interval of 6h over the
     events stream (query/dsl.py bucket_agg_adhoc — epoch-floor bucketing,
@@ -2184,6 +2378,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_range_chars": q_agg_range_chars,
         "agg_histogram_chars": q_agg_histogram_chars,
         "events_date_histogram": q_events_date_histogram,
+        "dsl_dis_max": q_dsl_dis_max,
+        "dsl_boosting": q_dsl_boosting,
+        "agg_filters_buckets": q_agg_filters_buckets,
+        "agg_extended_stats": q_agg_extended_stats,
+        "otlp_trace_decode": q_otlp_trace_decode,
     }
 
 

@@ -36,6 +36,7 @@ from .operators import anomaly as anomaly_ops
 from .operators import dedupe as dedupe_ops
 from .operators import metrics as metrics_ops
 from .operators import mutate, parse
+from .operators import otlp as otlp_ops
 from .operators import trace as trace_ops
 from .operators.enrich import geo_enrich_mmdb, obfuscate, user_agent
 from .operators.translate import translate_map
@@ -322,6 +323,11 @@ PROCESSORS: dict[str, Callable[[DataFrame, dict], DataFrame]] = {
     "service_map_stateful": lambda df, c: trace_ops.service_map_edges(df),
     "otel_metrics": _p_otel_metrics,
     "otel_metrics_raw_processor": _p_otel_metrics,
+    # OTLP protobuf decode (otel-proto-common analog, pure-Python wire
+    # reader — no spark-protobuf jar needed)
+    "otel_trace_decode": lambda df, c: otlp_ops.decode_otlp_traces(
+        df, c.get("source", "payload")
+    ),
     # dedupe family (LLM-curation extensions, SURVEY LLM-ops table)
     "exact_dedupe": lambda df, c: dedupe_ops.exact_dedupe(
         df, c.get("source", "message"), c.get("id_key", "id")

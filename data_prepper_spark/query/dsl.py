@@ -343,6 +343,47 @@ class _Compiler:
             return self.compile(body["filter"]).select(
                 "doc_id", F.lit(b).alias("score")
             )
+        if kind == "dis_max":
+            # {"dis_max": {"queries": [...], "tie_breaker": t}} — Lucene
+            # DisjunctionMaxQuery: score = best sub-score + t * (sum of the
+            # others). One union + one groupBy (max and sum in the same
+            # partial-aggregated pass), never an N-way join.
+            qs = (body or {}).get("queries") or []
+            if not qs:
+                raise ValueError("dis_max requires a non-empty 'queries' list")
+            tie = float(body.get("tie_breaker", 0.0))
+            import functools
+
+            allc = functools.reduce(
+                lambda a, b2: a.unionByName(b2),
+                (self.compile(c).select("doc_id", "score") for c in qs),
+            )
+            return (
+                allc.groupBy("doc_id")
+                .agg(F.max("score").alias("__mx"), F.sum("score").alias("__sm"))
+                .select(
+                    "doc_id",
+                    (F.col("__mx") + F.lit(tie) * (F.col("__sm") - F.col("__mx"))).alias("score"),
+                )
+            )
+        if kind == "boosting":
+            # {"boosting": {"positive": c, "negative": c, "negative_boost": b}}
+            # — docs must match positive; matching negative DEMOTES (score
+            # * b) instead of excluding, Lucene BoostingQuery semantics.
+            # The negative side is a doc_id set: left join + conditional
+            # multiply, no second scoring pass.
+            if not isinstance(body, dict) or "positive" not in body or "negative" not in body:
+                raise ValueError("boosting requires 'positive' and 'negative' clauses")
+            nb = float(body.get("negative_boost", 0.5))
+            pos = self.compile(body["positive"])
+            neg = self.compile(body["negative"]).select("doc_id").withColumn(
+                "__neg", F.lit(True)
+            )
+            return pos.join(neg, "doc_id", "left").select(
+                "doc_id",
+                (F.col("score")
+                 * F.when(F.col("__neg"), F.lit(nb)).otherwise(F.lit(1.0))).alias("score"),
+            )
         # per-clause boost (the DSL's {"boost": n} / field^n analog):
         # multiplies the clause's score like Lucene's BoostQuery
         boost = 1.0
@@ -1056,6 +1097,34 @@ _METRIC_AGGS = {
 }
 
 
+def _attr_predicate(clause: dict) -> Any:
+    """Filter-context clause -> boolean Column over a docs-attribute
+    frame (the filters-agg bucket predicates; same leaf vocabulary as
+    _Compiler._filter_leaf, rendered as predicates instead of doc sets)."""
+    kind, body = _leaf_body(clause)
+    if kind == "match_all":
+        return F.lit(True)
+    if kind == "term":
+        field, value = _leaf_body(body)
+        if isinstance(value, dict):
+            value = value["value"]
+        return F.col(field) == value
+    if kind == "terms":
+        field, values = _leaf_body(body)
+        return F.col(field).isin(list(values))
+    if kind == "range":
+        field, bounds = _leaf_body(body)
+        c = F.lit(True)
+        ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+        for op, v in bounds.items():
+            c = c & getattr(F.col(field), ops[op])(v)
+        return c
+    if kind == "exists":
+        field = body["field"] if isinstance(body, dict) else body
+        return F.col(field).isNotNull()
+    raise ValueError(f"unsupported filters-agg bucket clause: {kind}")
+
+
 def _sub_agg_cols(subs: dict) -> list:
     """Metric sub-aggregation columns for a bucket agg's ``aggs`` block
     (the OpenSearch nested-aggs shape, rendered flat: a `stats` sub-agg
@@ -1103,6 +1172,53 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
         raise ValueError("one top_hits sub-aggregation per bucket agg")
     if kind in _METRIC_AGGS:  # top-level single metric over the match set
         return matched.agg(_METRIC_AGGS[kind](body["field"]).alias("value"))
+    if kind == "stats":  # one-pass five-metric aggregate
+        f = body["field"]
+        return matched.agg(
+            F.count(f).alias("count"), F.min(f).alias("min"),
+            F.max(f).alias("max"), F.avg(f).alias("avg"), F.sum(f).alias("sum"),
+        )
+    if kind == "extended_stats":
+        # OpenSearch extended_stats: stats + sum_of_squares + population
+        # variance/std_deviation — still ONE aggregate pass
+        f = body["field"]
+        c = F.col(f).cast("double")
+        return matched.agg(
+            F.count(f).alias("count"), F.min(f).alias("min"),
+            F.max(f).alias("max"), F.avg(f).alias("avg"), F.sum(f).alias("sum"),
+            F.sum(c * c).alias("sum_of_squares"),
+            F.var_pop(f).alias("variance"),
+            F.stddev_pop(f).alias("std_deviation"),
+        )
+    if kind == "filters":
+        # {"filters": {"filters": {name: filter-clause}}} -> one row per
+        # named bucket (key, doc_count [, sub-agg metrics]). All buckets
+        # are conditional branches of ONE scan — a doc may land in several
+        # buckets (OpenSearch semantics), hence the array+explode rather
+        # than a single CASE. Empty buckets are kept at doc_count 0.
+        named = body["filters"]
+        conds = [
+            F.when(_attr_predicate(clause), F.lit(name))
+            for name, clause in named.items()
+        ]
+        counted = (
+            matched.select(F.explode(F.array(*conds)).alias("__f_key"), "*")
+            .where(F.col("__f_key").isNotNull())
+            .groupBy("__f_key")
+            .agg(F.count(F.lit(1)).alias("doc_count"), *subs)
+            .withColumnRenamed("__f_key", "key")
+        )
+        names = spark.createDataFrame([(n,) for n in named], "key string")
+        sub_names = [c2 for c2 in counted.columns if c2 not in ("key", "doc_count")]
+        return (
+            names.join(F.broadcast(counted), "key", "left")
+            .select(
+                "key",
+                F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+                *sub_names,
+            )
+            .orderBy("key")
+        )
     if kind == "percentiles":
         # {"field": f, "percents": [..], "approx": true} -> (percent,
         # value) rows. Exact linear-interpolated percentile by default

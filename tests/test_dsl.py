@@ -353,6 +353,12 @@ def _corpus_df(spark, corpus_dir):
               "must_not": [{"match": {"content": "class"}}]}},
     {"query_string": {"query": '+def return pre* -lang:go'}},
     {"bool": {"should": [{"fuzzy": {"content": {"value": "retur", "fuzziness": 1}}}]}},
+    {"dis_max": {"queries": [{"match": {"content": "def value"}},
+                             {"match": {"content": "return self"}}],
+                 "tie_breaker": 0.3}},
+    {"boosting": {"positive": {"match": {"content": "def return"}},
+                  "negative": {"term": {"lang": "go"}},
+                  "negative_boost": 0.4}},
 ])
 def test_search_adhoc_matches_indexed(spark, dsl_index, corpus_dir, dsl):
     from data_prepper_spark.query.dsl import search_adhoc
@@ -644,3 +650,83 @@ def test_match_phrase_prefix(spark, dsl_index, corpus_dir):
         size=10,
     ).collect()
     assert [(r.rank, r.doc_id) for r in comp] == [(r.rank, r.doc_id) for r in got]
+
+
+def test_dis_max_and_boosting_semantics(spark, dsl_index):
+    """dis_max: best sub-score + tie_breaker * rest (tie_breaker=0 ==
+    pure max; =1 == bool-should sum). boosting: negative matches are
+    DEMOTED by negative_boost, never excluded."""
+    a = {"match": {"content": "def"}}
+    b = {"match": {"content": "return"}}
+    sa = {r.doc_id: r.score for r in search(spark, dsl_index, a, size=1000).collect()}
+    sb = {r.doc_id: r.score for r in search(spark, dsl_index, b, size=1000).collect()}
+    for tie in (0.0, 0.3, 1.0):
+        got = {
+            r.doc_id: r.score
+            for r in search(
+                spark, dsl_index,
+                {"dis_max": {"queries": [a, b], "tie_breaker": tie}}, size=1000,
+            ).collect()
+        }
+        assert set(got) == set(sa) | set(sb)
+        for d, s in got.items():
+            xs = [x for x in (sa.get(d), sb.get(d)) if x is not None]
+            want = max(xs) + tie * (sum(xs) - max(xs))
+            assert abs(s - want) < 1e-9
+
+    demoted = {
+        r.doc_id: r.score
+        for r in search(
+            spark, dsl_index,
+            {"boosting": {"positive": a, "negative": {"term": {"lang": "go"}},
+                          "negative_boost": 0.25}}, size=1000,
+        ).collect()
+    }
+    assert set(demoted) == set(sa)  # nothing excluded
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{dsl_index}/docs").select("doc_id", "lang").collect()
+    }
+    for d, s in demoted.items():
+        want = sa[d] * (0.25 if langs.get(d) == "go" else 1.0)
+        assert abs(s - want) < 1e-9
+
+
+def test_filters_and_extended_stats_aggs(spark, dsl_index):
+    """filters agg: named buckets as branches of one scan, overlap
+    allowed, empty buckets kept; stats/extended_stats: one-pass."""
+    import math
+
+    from data_prepper_spark.query.dsl import aggregations
+
+    aggs = {
+        "f": {"filters": {"filters": {
+            "py": {"term": {"lang": "python"}},
+            "tagged": {"exists": {"field": "lang"}},
+            "none": {"term": {"lang": "klingon"}},
+        }}, "aggs": {"chars": {"avg": {"field": "doc_len"}}}},
+        "es": {"extended_stats": {"field": "doc_len"}},
+        "st": {"stats": {"field": "doc_len"}},
+    }
+    out = aggregations(spark, dsl_index, {"match": {"content": "def"}}, aggs)
+    docs = spark.read.parquet(f"{dsl_index}/docs")
+    hits = search(spark, dsl_index, {"match": {"content": "def"}}, size=10**6)
+    m = docs.join(hits.select("doc_id"), "doc_id").select("lang", "doc_len").collect()
+    f = {r.key: r for r in out["f"].collect()}
+    n_py = sum(1 for r in m if r.lang == "python")
+    n_tag = sum(1 for r in m if r.lang is not None)
+    assert f["py"].doc_count == n_py and f["tagged"].doc_count == n_tag
+    assert f["none"].doc_count == 0 and f["none"].chars is None
+    avg_py = sum(r.doc_len for r in m if r.lang == "python") / max(1, n_py)
+    assert abs(f["py"].chars - avg_py) < 1e-9
+    vals = [r.doc_len for r in m]
+    es = out["es"].collect()[0]
+    st = out["st"].collect()[0]
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / len(vals)
+    assert es["count"] == len(vals) == st["count"]
+    assert es["min"] == min(vals) and es["max"] == max(vals)
+    assert abs(es["avg"] - mean) < 1e-9 and st["sum"] == sum(vals)
+    assert abs(es["sum_of_squares"] - sum(v * v for v in vals)) < 1e-6
+    assert abs(es["variance"] - var) < 1e-6 * max(1.0, var)
+    assert abs(es["std_deviation"] - math.sqrt(var)) < 1e-6 * max(1.0, math.sqrt(var))

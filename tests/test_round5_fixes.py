@@ -258,3 +258,42 @@ def test_decode_image_real_with_pillow(spark):
     assert (got[1].width, got[1].height) == (20, 30)
     assert abs(got[1].mean_luma - 128.0) < 1.0
     assert got[2].width is None and got[2].height is None
+
+
+# ----------------------------------------------------------- OTLP decode --
+def test_otlp_decode_roundtrip_and_corruption(spark):
+    """r5: pure-Python OTLP wire decode (operators/otlp.py — the
+    otel-proto-common analog, no spark-protobuf jar). Encoder->decoder
+    roundtrip through Spark; corrupt payloads contribute zero rows."""
+    from data_prepper_spark.operators.otlp import (
+        decode_otlp_traces,
+        encode_traces_payload,
+    )
+
+    spans = [
+        dict(trace_id=b"\xaa" * 16, span_id=b"\x01" * 8, name="root",
+             kind=2, start=1000, end=5000, status=0),
+        dict(trace_id=b"\xaa" * 16, span_id=b"\x02" * 8,
+             parent_span_id=b"\x01" * 8, name="child",
+             start=1500, end=2500, status=2),
+    ]
+    good = encode_traces_payload("svcA", spans)
+    rows = [(bytearray(good),), (bytearray(b"\xff\xfe garbage"),), (None,)]
+    df = spark.createDataFrame(rows, "payload binary")
+    got = {r.spanId: r for r in decode_otlp_traces(df).collect()}
+    assert set(got) == {"01" * 8, "02" * 8}
+    root, child = got["01" * 8], got["02" * 8]
+    assert root.traceId == "aa" * 16 and root.parentSpanId is None
+    assert root.name == "root" and root.kind == 2 and root.statusCode == 0
+    assert (root.startTime, root.endTime, root.durationInNanos) == (1000, 5000, 4000)
+    assert child.parentSpanId == "01" * 8 and child.serviceName == "svcA"
+    assert child.statusCode == 2 and child.kind == 0  # proto3 default kind
+
+    # decoded spans feed the trace operators directly (fill + edges)
+    from data_prepper_spark.operators.trace import fill_trace_group
+
+    spans_df = decode_otlp_traces(df).withColumn(
+        "traceGroup", F.when(F.col("parentSpanId").isNull(), F.col("name"))
+    )
+    filled = {r.spanId: r.traceGroup for r in fill_trace_group(spans_df).collect()}
+    assert filled["02" * 8] == "root"
