@@ -1836,6 +1836,8 @@ def q_pipeline_yaml_trace(spark, sf_dir):
 
 
 def _extra_oracles() -> dict[str, str]:
+    toks = duckdb_tokens_sql("text")
+    base = f"select doc_id, {toks} as toks from documents"
     spans_sql = """
         select cast(user_id as varchar) as traceId,
                printf('%d-%d', user_id, event_id) as spanId,
@@ -1905,6 +1907,45 @@ def _extra_oracles() -> dict[str, str]:
                     where traceGroup is not null group by traceId)
             select s.spanId, coalesce(s.traceGroup, i.tg) as traceGroup
             from spans s left join idx i on s.traceId = i.traceId""",
+        "agg_composite_page": f"""
+            with tk as (select doc_id, lang, n_chars, {toks} as toks from documents),
+            m as (select lang, n_chars from tk
+                  where len(list_filter(toks, x -> x in ('key', 'scan', 'table', 'value'))) > 0),
+            g as (select lang, floor(n_chars / 100.0) * 100.0 as chars,
+                         cast(count(*) as bigint) as doc_count
+                  from m where lang is not null and n_chars is not null
+                  group by 1, 2)
+            select lang, chars, doc_count from g
+            where lang > 'de' or (lang = 'de' and chars > 200.0)
+            order by lang, chars limit 5""",
+        "dsl_collapse": """
+            with g as (
+              select doc_id, lang, n_chars,
+                     row_number() over (
+                       partition by coalesce(lang, 'N' || cast(doc_id as varchar))
+                       order by n_chars desc, doc_id asc) as rn
+              from documents),
+            s as (select doc_id, lang, n_chars from g where rn = 1)
+            select cast(row_number() over (order by n_chars desc, doc_id asc) as int) as rank,
+                   doc_id, cast(1.0 as double) as score, n_chars, lang
+            from s order by rank limit 8""",
+        "ft_suggest_terms": f"""
+            with tk as ({base}),
+            d as (select term, cast(count(*) as bigint) as df
+                  from (select distinct doc_id, unnest(toks) as term from tk)
+                  group by term),
+            t(token) as (values ('scen'), ('grup'), ('kay'), ('tabl')),
+            cand as (select t.token, d.term as suggestion,
+                            levenshtein(d.term, t.token) as distance, d.df
+                     from d join t on substr(d.term, 1, 1) = substr(t.token, 1, 1)
+                                  and abs(len(d.term) - len(t.token)) <= 2
+                                  and d.term <> t.token
+                                  and levenshtein(d.term, t.token) <= 2),
+            r as (select *, cast(row_number() over (
+                     partition by token
+                     order by distance asc, df desc, suggestion asc) as int) as rank
+                  from cand)
+            select token, rank, suggestion, distance, df from r where rank <= 5""",
         "otlp_trace_decode": """
             select printf('%032x', user_id) as traceId,
                    printf('%016x', event_id) as spanId,
@@ -2237,6 +2278,57 @@ def q_agg_extended_stats(spark, sf_dir):
     )
 
 
+def q_agg_composite_page(spark, sf_dir):
+    """OpenSearch composite aggregation: key-ordered bucket pages with an
+    `after` cursor — the scalable bucket walk (O(size) per page via
+    TakeOrderedAndProject, never a deep terms agg). Multi-source keys
+    (terms x histogram) over the standard query's match set
+    (query/dsl.py _bucket_agg composite branch)."""
+    from data_prepper_spark.query.dsl import aggregations_adhoc
+
+    return aggregations_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", FT_QUERY,
+        {"c": {"composite": {
+            "sources": [
+                {"lang": {"terms": {"field": "lang"}}},
+                {"chars": {"histogram": {"field": "n_chars", "interval": 100}}},
+            ],
+            "size": 5,
+            "after": {"lang": "de", "chars": 200.0},
+        }}},
+    )["c"]
+
+
+def q_dsl_collapse(spark, sf_dir):
+    """Search-body field collapsing: one best hit per lang group under
+    the sort order, docs with a missing lang each their own group
+    (query/dsl.py _search_body collapse — a row_number window on the
+    collapse key BEFORE pagination)."""
+    from data_prepper_spark.query.dsl import search_body_adhoc
+
+    return search_body_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        {"query": {"match_all": {}},
+         "collapse": {"field": "lang"},
+         "sort": [{"n_chars": "desc"}, {"_doc": "asc"}],
+         "_source": ["lang"],
+         "size": 8},
+        round_to=4,
+    )
+
+
+def q_ft_suggest_terms(spark, sf_dir):
+    """Term suggester ("did you mean"): per misspelled token, dictionary
+    candidates within the edit budget ranked (distance asc, df desc) —
+    one dictionary pass with Lucene's first-char/length pruning
+    (query/suggest.py; indexed twin reads dict_df incl. NRT segments)."""
+    from data_prepper_spark.query.suggest import suggest_terms_adhoc
+
+    return suggest_terms_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "scen grup kay tabl", size=5, max_edits=2
+    )
+
+
 def q_otlp_trace_decode(spark, sf_dir):
     """OTLP protobuf trace decode with NO jar: deterministic
     ExportTraceServiceRequest payloads are wire-encoded from events
@@ -2383,6 +2475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_filters_buckets": q_agg_filters_buckets,
         "agg_extended_stats": q_agg_extended_stats,
         "otlp_trace_decode": q_otlp_trace_decode,
+        "agg_composite_page": q_agg_composite_page,
+        "dsl_collapse": q_dsl_collapse,
+        "ft_suggest_terms": q_ft_suggest_terms,
     }
 
 

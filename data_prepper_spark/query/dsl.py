@@ -47,6 +47,7 @@ dictionary lookups.
 from __future__ import annotations
 
 import re
+import functools
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -779,18 +780,44 @@ def _search_body(compiler: _Compiler, body: dict, round_to: int | None) -> DataF
     if round_to is not None:
         full = full.select("doc_id", F.round("score", round_to).alias("score"))
     source = body.get("_source") or []
+    collapse = body.get("collapse")
+    collapse_field = (
+        (collapse["field"] if isinstance(collapse, dict) else collapse)
+        if collapse
+        else None
+    )
     need = [
         c
-        for c in dict.fromkeys([c for c, _ in keys] + list(source))
+        for c in dict.fromkeys(
+            [c for c, _ in keys]
+            + list(source)
+            + ([collapse_field] if collapse_field else [])
+        )
         if c not in ("doc_id", "score")
     ]
     if need:
         full = full.join(compiler._docs_df().select("doc_id", *need), "doc_id")
-    if body.get("search_after") is not None:
-        full = full.where(_after_predicate(keys, list(body["search_after"])))
     # OpenSearch sorts missing values last by default; Spark's bare
     # asc() puts nulls FIRST, which would also break _after_predicate.
     order = [F.asc_nulls_last(c) if asc else F.desc_nulls_last(c) for c, asc in keys]
+    if collapse_field:
+        # field collapsing: keep each group's best hit under the current
+        # sort order BEFORE pagination/cursor (OpenSearch collapse
+        # semantics; a doc with a missing collapse key is its own group).
+        # One window partitioned by the collapse key — the shuffle is on
+        # that key, bounded by one surviving row per group.
+        grp = F.when(
+            F.col(collapse_field).isNull(),
+            F.concat(F.lit("\0null\0"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col(collapse_field).cast("string"))
+        wc = Window.partitionBy(grp).orderBy(*order)
+        full = (
+            full.withColumn("__cr", F.row_number().over(wc))
+            .where(F.col("__cr") == 1)
+            .drop("__cr")
+        )
+    if body.get("search_after") is not None:
+        full = full.where(_after_predicate(keys, list(body["search_after"])))
     topn = full.orderBy(*order).limit(from_ + size)
     w = F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(*order))
     return topn.select(w.alias("rank"), "doc_id", "score", *need).where(
@@ -1190,6 +1217,47 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
             F.var_pop(f).alias("variance"),
             F.stddev_pop(f).alias("std_deviation"),
         )
+    if kind == "composite":
+        # {"composite": {"sources": [{name: {"terms": {"field": f}}} |
+        #   {name: {"histogram": {"field": f, "interval": i}}}, ...],
+        #   "size": n, "after": {name: value, ...}}}
+        # The scalable bucket walk: buckets stream in key order, `after`
+        # resumes from a cursor, so enumerating 10^9 buckets costs
+        # O(size) per page (TakeOrderedAndProject over one groupBy) —
+        # exactly why OpenSearch tells users to prefer composite over
+        # deep terms aggs. Docs with a missing source key are dropped
+        # (the OpenSearch default without missing_bucket).
+        sources = body["sources"]
+        size = int(body.get("size", 10))
+        names, exprs = [], []
+        for s in sources:
+            (name, spec2), = s.items()
+            skind, sbody = _leaf_body(spec2)
+            fld = sbody["field"]
+            if skind == "terms":
+                exprs.append(F.col(fld).alias(name))
+            elif skind == "histogram":
+                iv = float(sbody["interval"])
+                exprs.append(
+                    (F.floor(F.col(fld).cast("double") / iv) * iv).alias(name)
+                )
+            else:
+                raise ValueError(f"unsupported composite source: {skind}")
+            names.append(name)
+        grouped = (
+            matched.where(
+                functools.reduce(lambda a, b2: a & b2, (e.isNotNull() for e in exprs))
+            )
+            .groupBy(*exprs)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *subs)
+        )
+        after = body.get("after")
+        if after is not None:
+            grouped = grouped.where(
+                _after_predicate([(n, True) for n in names],
+                                 [after[n] for n in names])
+            )
+        return grouped.orderBy(*[F.asc(n) for n in names]).limit(size)
     if kind == "filters":
         # {"filters": {"filters": {name: filter-clause}}} -> one row per
         # named bucket (key, doc_count [, sub-agg metrics]). All buckets

@@ -730,3 +730,78 @@ def test_filters_and_extended_stats_aggs(spark, dsl_index):
     assert abs(es["sum_of_squares"] - sum(v * v for v in vals)) < 1e-6
     assert abs(es["variance"] - var) < 1e-6 * max(1.0, var)
     assert abs(es["std_deviation"] - math.sqrt(var)) < 1e-6 * max(1.0, math.sqrt(var))
+
+
+def test_composite_agg_full_walk(spark, dsl_index):
+    """Paging composite with `after` cursors until exhaustion must
+    enumerate exactly the buckets of a direct groupBy, in key order."""
+    from data_prepper_spark.query.dsl import aggregations
+
+    dsl = {"match": {"content": "def"}}
+    spec = {"composite": {"sources": [
+        {"lang": {"terms": {"field": "lang"}}},
+        {"len": {"histogram": {"field": "doc_len", "interval": 25}}},
+    ], "size": 3}}
+    pages, after = [], None
+    for _ in range(50):
+        s = {"composite": {**spec["composite"]}}
+        if after is not None:
+            s["composite"]["after"] = after
+        rows = aggregations(spark, dsl_index, dsl, {"c": s})["c"].collect()
+        if not rows:
+            break
+        pages += [(r.lang, r.len, r.doc_count) for r in rows]
+        after = {"lang": rows[-1].lang, "len": rows[-1].len}
+    assert pages == sorted(pages)  # key-ordered across pages
+    docs = spark.read.parquet(f"{dsl_index}/docs")
+    hits = search(spark, dsl_index, dsl, size=10**6).select("doc_id")
+    m = docs.join(hits, "doc_id").where("lang is not null and doc_len is not null")
+    want = sorted(
+        (r.lang, float(r.k), r.c)
+        for r in m.groupBy(
+            "lang", (F.floor(F.col("doc_len") / 25) * 25).alias("k")
+        ).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    assert pages == want
+
+
+def test_search_body_collapse(spark, dsl_index):
+    """collapse keeps one best hit per group under the sort order."""
+    from data_prepper_spark.query.dsl import search_body
+
+    body = {"query": {"match": {"content": "def"}},
+            "collapse": {"field": "lang"},
+            "sort": [{"_score": "desc"}, {"_doc": "asc"}],
+            "_source": ["lang"], "size": 50}
+    got = search_body(spark, dsl_index, body).collect()
+    langs = [r.lang for r in got]
+    assert len(langs) == len(set(langs))  # one hit per lang group
+    # each surviving hit is its group's best by (score desc, doc_id asc)
+    full = search_body(spark, dsl_index, {**body, "collapse": None} | {"size": 10**6})
+    best = {}
+    for r in sorted(full.collect(), key=lambda r: (-r.score, r.doc_id)):
+        best.setdefault(r.lang, r.doc_id)
+    assert {r.lang: r.doc_id for r in got} == {
+        k: v for k, v in best.items() if k in set(langs)
+    }
+
+
+def test_suggest_terms_indexed_equals_adhoc(spark, dsl_index, corpus_dir):
+    """Indexed suggester (dict_df) == adhoc suggester (corpus re-tokenize),
+    and ranking is (distance asc, df desc)."""
+    from data_prepper_spark.query.suggest import suggest_terms, suggest_terms_adhoc
+
+    text = "retrn sel vlue"
+    idx = suggest_terms(spark, dsl_index, text, size=5).collect()
+    ad = suggest_terms_adhoc(
+        spark.read.parquet(corpus_dir), "content", text, size=5
+    ).collect()
+    key = lambda rows: sorted((r.token, r.rank, r.suggestion, r.distance, r.df) for r in rows)
+    assert key(idx) == key(ad)
+    by_tok = {}
+    for r in sorted(idx, key=lambda r: (r.token, r.rank)):
+        by_tok.setdefault(r.token, []).append(r)
+    assert by_tok  # non-vacuous
+    for rows in by_tok.values():
+        ds = [(r.distance, -r.df) for r in rows]
+        assert ds == sorted(ds)
