@@ -1003,6 +1003,18 @@ def q_ann_cosine_topk(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("sim", 4).alias("sim"))
 
 
+def q_embed_top_pairs(spark, sf_dir):
+    """Embedding near-dup pairs (the all-pairs verification path of
+    operators/similarity.embedding_pairs): global top-20 most-similar
+    pairs ranked on the rounded cosine with id tiebreaks. The scale path
+    is method='lsh' (bucket-join candidates + exact-cosine verify, never
+    all-pairs) — recall-asserted in tests/test_dedupe_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_pairs(
+        emb, "embedding", "vec_id", dim=64, top_n=20, method="exact"
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = list(emb.where("vec_id = 0").select("embedding").collect()[0][0])
@@ -1408,6 +1420,13 @@ def _textops_oracles() -> dict[str, str]:
             from embeddings cross join q
             order by list_cosine_similarity(embedding::DOUBLE[], qv) desc, vec_id asc
             limit 10""",
+        "embed_top_pairs": """
+            select id_a, id_b, cosine from (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 4) as cosine
+              from embeddings a join embeddings b on a.vec_id < b.vec_id)
+            order by cosine desc, id_a asc, id_b asc limit 20""",
     }
 
 
@@ -2436,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_data_pipeline": q_training_data_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embed_top_pairs": q_embed_top_pairs,
         "agg_put_all": q_agg_put_all,
         "agg_append": q_agg_append,
         "agg_percent_sampler": q_agg_percent_sampler,

@@ -174,3 +174,73 @@ def lsh_topk(
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(k)
     )
+
+
+def embedding_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float | None = None,
+    top_n: int | None = None,
+    method: str = "lsh",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs: (id_a < id_b, cosine) with cosine >=
+    ``threshold`` and/or the global ``top_n`` most-similar pairs (rank on
+    the rounded cosine with id tiebreaks, so the cut is reproducible
+    across engines).
+
+    method="exact": all-pairs self-join — the oracle/verification path,
+    O(n^2), for small inputs and correctness gates only.
+
+    method="lsh": the scale path — candidates are pairs sharing an LSH
+    bucket in ANY of ``n_tables`` hash tables (random signed
+    projections, the same family the ANN path uses), deduped, then
+    verified with the exact cosine. Never all-pairs: the join is an
+    equi-join on (table, bucket), cost ~ sum of bucket sizes squared /
+    2^n_planes, and a true near-dup pair collides in at least one table
+    with probability -> 1 exponentially in n_tables. The same
+    candidates-then-exact-verify shape as minhash_lsh_pairs, so false
+    positives are eliminated entirely; recall is governed by the
+    (n_planes, n_tables) s-curve (asserted >= threshold in tests).
+    """
+    if threshold is None and top_n is None:
+        raise ValueError("embedding_pairs needs threshold and/or top_n")
+    ids = F.col(id_col)
+    if method == "exact":
+        l = df.select(ids.alias("id_a"), F.col(vec_col).cast("array<double>").alias("__va"))
+        r = df.select(ids.alias("id_b"), F.col(vec_col).cast("array<double>").alias("__vb"))
+        pairs = l.join(r, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        b = lsh_bucketed(df, vec_col, id_col, dim, n_planes=n_planes, n_tables=n_tables)
+        cand = (
+            b.alias("l")
+            .join(b.alias("r"), ["table", "bucket"])
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.vec").alias("__va"), F.col("r.vec").alias("__vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = cand.select(
+            "id_a", "id_b",
+            F.col("__va").cast("array<double>").alias("__va"),
+            F.col("__vb").cast("array<double>").alias("__vb"),
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    scored = pairs.select(
+        "id_a", "id_b",
+        F.round(cosine_sim(F.col("__va"), F.col("__vb")), round_to).alias("cosine"),
+    )
+    if threshold is not None:
+        scored = scored.where(F.col("cosine") >= threshold)
+    if top_n is not None:
+        scored = scored.orderBy(
+            F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
+        ).limit(top_n)
+    return scored

@@ -244,3 +244,38 @@ def test_minhash_bucket_cap_bounds_giant_cluster(spark):
         tdf, "text", "doc_id", num_perm=16, bands=4, shingle_n=2, max_bucket_size=50
     )
     assert {(r.id_a, r.id_b) for r in tp.collect()} == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_embedding_pairs_lsh_recall(spark):
+    """r5 embedding near-dup pairs: the LSH candidate path (bucket-join +
+    exact-cosine verify, never all-pairs) must recover >= 90% of the
+    exact-threshold pairs and never emit a false positive."""
+    import numpy as np
+
+    from data_prepper_spark.operators.similarity import embedding_pairs
+
+    rng = np.random.default_rng(7)
+    rows, vid = [], 0
+    for v in rng.normal(size=(40, 32)):
+        v = v / np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        w = v + rng.normal(scale=0.05, size=32)  # planted near-dup
+        w = w / np.linalg.norm(w)
+        rows.append((vid, [float(x) for x in w])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_pairs(
+            df, "embedding", "vec_id", dim=32, threshold=0.9, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_pairs(
+            df, "embedding", "vec_id", dim=32, threshold=0.9,
+            method="lsh", n_planes=6, n_tables=6,
+        ).collect()
+    }
+    assert exact, "planted near-dups must clear the threshold"
+    assert lsh <= exact  # exact verify kills every false positive
+    assert len(lsh & exact) / len(exact) >= 0.9
