@@ -1003,6 +1003,23 @@ def q_ann_cosine_topk(spark, sf_dir):
     return top.select(F.col("id").alias("vec_id"), F.round("sim", 4).alias("sim"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (operators/similarity.ivf_*): spherical k-means
+    centroids from a deterministic sample, one Arrow-batched matmul
+    assignment pass, probe the nprobe nearest centroids only (partition
+    pruned when persisted partitionBy(centroid)). Rows-only by design:
+    centroids are float-iteration artifacts, not SQL-recomputable; the
+    nprobe=all identity (== brute force) and clustered-recall bounds are
+    pytest-asserted in tests/test_dedupe_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, "embedding", "vec_id", dim=64, n_centroids=8)
+    assigned = similarity.ivf_assign(emb, "embedding", "vec_id", cents)
+    qvec = list(emb.where("vec_id = 0").select("embedding").collect()[0][0])
+    return similarity.ivf_topk(assigned, qvec, cents, k=10, nprobe=3).select(
+        F.col("id").alias("vec_id"), F.round("sim", 4).alias("sim")
+    )
+
+
 def q_embed_top_pairs(spark, sf_dir):
     """Embedding near-dup pairs (the all-pairs verification path of
     operators/similarity.embedding_pairs): global top-20 most-similar
@@ -2456,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embed_top_pairs": q_embed_top_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "agg_put_all": q_agg_put_all,
         "agg_append": q_agg_append,
         "agg_percent_sampler": q_agg_percent_sampler,

@@ -279,3 +279,37 @@ def test_embedding_pairs_lsh_recall(spark):
     assert exact, "planted near-dups must clear the threshold"
     assert lsh <= exact  # exact verify kills every false positive
     assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_ivf_identity_and_clustered_recall(spark):
+    """r5 IVF-Flat: probing ALL centroids is exactly brute force (the
+    partition walk loses nothing); on clustered data a narrow probe
+    keeps recall@10 >= 0.9."""
+    import numpy as np
+
+    from data_prepper_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 24)) * 3
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(30):
+            v = c + rng.normal(size=24)
+            v = v / np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(df, "embedding", "vec_id", dim=24, n_centroids=6)
+    assigned = ivf_assign(df, "embedding", "vec_id", cents)
+    q = rows[7][1]
+    exact = [r.id for r in brute_force_topk(df, "embedding", "vec_id", q, k=10).collect()]
+    allprobe = [
+        r.id for r in ivf_topk(assigned, q, cents, k=10, nprobe=len(cents)).collect()
+    ]
+    assert allprobe == exact  # nprobe=all == brute force, rank-identical
+    narrow = {r.id for r in ivf_topk(assigned, q, cents, k=10, nprobe=2).collect()}
+    assert len(narrow & set(exact)) / 10 >= 0.9
