@@ -1982,6 +1982,41 @@ def _extra_oracles() -> dict[str, str]:
                      order by distance asc, df desc, suggestion asc) as int) as rank
                   from cand)
             select token, rank, suggestion, distance, df from r where rank <= 5""",
+        "events_date_range": """
+            select r.key, r."from", r."to",
+                   (select count(*) from events e
+                    where (r."from" is null or e.ts >= cast(r."from" as timestamp))
+                      and (r."to" is null or e.ts < cast(r."to" as timestamp))) as doc_count
+            from (values ('*-2024-01-08', cast(null as varchar), '2024-01-08'),
+                         ('mid', '2024-01-08', '2024-01-20'),
+                         ('2024-01-20-*', '2024-01-20', cast(null as varchar))) r(key, "from", "to")""",
+        "dsl_more_like_this": f"""
+            with base as (select doc_id, {toks} as toks from documents),
+            stats as (select count(*) as n from base),
+            src as (select term, cast(count(*) as bigint) as tf
+                    from (select unnest(toks) as term from base where doc_id = 3)
+                    group by term),
+            dfs as (select term, cast(count(*) as bigint) as df
+                    from (select distinct doc_id, unnest(toks) as term from base)
+                    where term in (select term from src) group by term),
+            qt as (select s.term
+                   from src s join dfs using(term), stats
+                   where df >= 2
+                   order by -round(tf * ln(1 + (n - df + 0.5) / (df + 0.5)), 6), s.term
+                   limit 8),
+            b2 as (select doc_id, len(toks) as dl, toks from base),
+            st2 as (select count(*) as n, avg(dl) as avgdl from b2),
+            posts as (select doc_id, dl, term, count(*) as tf
+                      from (select doc_id, dl, unnest(toks) as term from b2)
+                      where term in (select term from qt) group by doc_id, dl, term),
+            tdf as (select term, cast(count(*) as bigint) as df from posts group by term),
+            sc as (select doc_id,
+                     round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) as score
+                   from posts join tdf using(term), st2 group by doc_id)
+            select cast(row_number() over (order by score desc, doc_id asc) as int) as rank,
+                   doc_id, score
+            from sc where doc_id != 3 order by score desc, doc_id asc limit 10""",
         "otlp_trace_decode": """
             select printf('%032x', user_id) as traceId,
                    printf('%016x', event_id) as spanId,
@@ -2365,6 +2400,38 @@ def q_ft_suggest_terms(spark, sf_dir):
     )
 
 
+def q_events_date_range(spark, sf_dir):
+    """OpenSearch date_range aggregation over the events stream: from
+    inclusive / to exclusive timestamp buckets, empty buckets kept
+    (query/dsl.py _bucket_agg date_range — one scan, explode pattern)."""
+    from data_prepper_spark.query.dsl import bucket_agg_adhoc
+
+    return bucket_agg_adhoc(
+        _t(spark, sf_dir, "events"),
+        {"date_range": {"field": "ts", "ranges": [
+            {"to": "2024-01-08"},
+            {"from": "2024-01-08", "to": "2024-01-20", "key": "mid"},
+            {"from": "2024-01-20"},
+        ]}},
+    )
+
+
+def q_dsl_more_like_this(spark, sf_dir):
+    """more_like_this as a DSL scoring leaf ({"like": {"_id": n}}):
+    source-doc top tf*idf terms -> bool-OR BM25, source excluded —
+    runs through the shared compiler seams, so the indexed and adhoc
+    backends share term selection (query/dsl.py more_like_this branch;
+    rank-parity with the dedicated operator is pytest-asserted)."""
+    from data_prepper_spark.query.dsl import search_adhoc
+
+    return search_adhoc(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        {"more_like_this": {"like": {"_id": 3}, "max_query_terms": 8,
+                            "min_doc_freq": 2}},
+        size=10, round_to=4,
+    )
+
+
 def q_otlp_trace_decode(spark, sf_dir):
     """OTLP protobuf trace decode with NO jar: deterministic
     ExportTraceServiceRequest payloads are wire-encoded from events
@@ -2516,6 +2583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_composite_page": q_agg_composite_page,
         "dsl_collapse": q_dsl_collapse,
         "ft_suggest_terms": q_ft_suggest_terms,
+        "events_date_range": q_events_date_range,
+        "dsl_more_like_this": q_dsl_more_like_this,
     }
 
 

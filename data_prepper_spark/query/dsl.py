@@ -243,6 +243,52 @@ class _Compiler:
             )
             terms = self._expand(pred, 64)
             return self._score_terms(terms) if terms else None
+        if kind == "more_like_this":
+            # {"more_like_this": {"fields": ["content"], "like": {"_id": n}
+            #  | "free text", "max_query_terms": 25, "min_doc_freq": 2}}
+            # Lucene MoreLikeThisQuery through the compiler seams: the
+            # liked doc's (or text's) top terms by tf*idf become a
+            # bool-OR BM25 clause; _id likes exclude the source doc.
+            # Term selection rounds tf*idf to 6 digits with a term
+            # tiebreak so both backends pick identical term sets.
+            for fld in body.get("fields", ["content"]):
+                self._require_content(fld, kind)
+            like = body["like"]
+            maxq = int(body.get("max_query_terms", 25))
+            mindf = int(body.get("min_doc_freq", 2))
+            src_doc = None
+            if isinstance(like, dict) and "_id" in like:
+                src_doc = int(like["_id"])
+                rows = (
+                    self._postings_df()
+                    .where(F.col("doc_id") == src_doc)
+                    .select("term", "tf")
+                    .collect()
+                )
+                tf_by_term = {r["term"]: int(r["tf"]) for r in rows}
+            else:
+                toks = tokenize_py(str(like))
+                tf_by_term = {}
+                for t in toks:
+                    tf_by_term[t] = tf_by_term.get(t, 0) + 1
+            if not tf_by_term:
+                return None
+            tstats = self._term_stats(sorted(tf_by_term))
+            ranked = sorted(
+                (
+                    (round(tf_by_term[t] * s["idf"], 6), t)
+                    for t, s in tstats.items()
+                    if s["df"] >= mindf
+                ),
+                key=lambda x: (-x[0], x[1]),
+            )
+            sel = [t for _w, t in ranked[:maxq]]
+            if not sel:
+                return None
+            scored = self._score_terms(sel)
+            if scored is not None and src_doc is not None:
+                scored = scored.where(F.col("doc_id") != src_doc)
+            return scored
         if kind == "multi_match":
             # flat body: {"query": q, "fields": ["content", "content^2"],
             # "type": "best_fields"|"most_fields"}. The engine indexes one
@@ -1371,6 +1417,48 @@ def _bucket_agg(spark: SparkSession, matched: DataFrame, spec: dict) -> DataFram
             F.max(field).alias("max"),
             F.avg(field).alias("avg"),
             F.sum(field).alias("sum"),
+        )
+    if kind == "date_range":
+        # {"field": f, "ranges": [{"from": "2024-01-01", "to": ...}]} ->
+        # (key, from, to, doc_count): the range agg over timestamps
+        # (from inclusive, to exclusive, empty buckets kept; bound
+        # strings render back as the bucket's from/to). Same one-scan
+        # explode shape as `range` below.
+        field = body["field"]
+        ranges = body.get("ranges", [])
+        if not ranges:
+            raise ValueError("date_range aggregation needs 'ranges'")
+        col = F.col(field).cast("timestamp")
+        specs = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            key = r.get("key", f"{lo or '*'}-{hi or '*'}")
+            specs.append((key, lo, hi))
+        conds = [
+            F.when(
+                (F.lit(True) if lo is None else (col >= F.lit(lo).cast("timestamp")))
+                & (F.lit(True) if hi is None else (col < F.lit(hi).cast("timestamp"))),
+                F.lit(key),
+            )
+            for key, lo, hi in specs
+        ]
+        counted = (
+            matched.select(F.explode(F.array(*conds)).alias("__range_key"), "*")
+            .where(F.col("__range_key").isNotNull())
+            .groupBy("__range_key")
+            .agg(F.count(F.lit(1)).alias("doc_count"), *subs)
+            .withColumnRenamed("__range_key", "key")
+        )
+        rdf = spark.createDataFrame(specs, "key string, from string, to string")
+        sub_names = [c for c in counted.columns if c not in ("key", "doc_count")]
+        return (
+            rdf.join(F.broadcast(counted), "key", "left")
+            .select(
+                "key", "from", "to",
+                F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+                *sub_names,
+            )
+            .orderBy(F.asc_nulls_first("from"), "key")
         )
     if kind == "range":
         # {"field": f, "ranges": [{"to": x}, {"from": a, "to": b},

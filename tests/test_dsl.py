@@ -805,3 +805,40 @@ def test_suggest_terms_indexed_equals_adhoc(spark, dsl_index, corpus_dir):
     for rows in by_tok.values():
         ds = [(r.distance, -r.df) for r in rows]
         assert ds == sorted(ds)
+
+
+def test_more_like_this_dsl_leaf_parity(spark, dsl_index):
+    """The more_like_this DSL leaf == the dedicated operator (same term
+    selection, same scoring, source doc excluded), indexed backend."""
+    from data_prepper_spark.query.multiterm import more_like_this
+
+    did = spark.read.parquet(f"{dsl_index}/docs").orderBy("doc_id").first().doc_id
+    got = search(
+        spark, dsl_index,
+        {"more_like_this": {"like": {"_id": did}, "max_query_terms": 10,
+                            "min_doc_freq": 2}},
+        size=10,
+    ).collect()
+    want = more_like_this(
+        spark, dsl_index, doc_id=did, k=10, max_query_terms=10, min_doc_freq=2
+    ).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(r.rank, r.doc_id) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-9
+    assert all(r.doc_id != did for r in got)
+
+
+def test_date_range_agg(spark):
+    from data_prepper_spark.query.dsl import bucket_agg_adhoc
+
+    rows = [(i, f"2024-01-{d:02d} 12:00:00") for i, d in enumerate(
+        [1, 2, 5, 10, 15, 20, 25, 28])]
+    df = spark.createDataFrame(rows, "id long, ts string").select(
+        "id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r.key: r.doc_count for r in bucket_agg_adhoc(
+        df, {"date_range": {"field": "ts", "ranges": [
+            {"to": "2024-01-05"},
+            {"from": "2024-01-05", "to": "2024-01-20", "key": "mid"},
+            {"from": "2024-02-01", "key": "empty"},
+        ]}}).collect()}
+    assert out == {"*-2024-01-05": 2, "mid": 3, "empty": 0}
