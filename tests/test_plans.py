@@ -115,3 +115,27 @@ def test_phrase_proximity_plan_skips_postings(spark, corpus_dir, index_dir, tmp_
     assert "/docs" in prox  # doc_len join
     bag = _plan(phrase_topk(spark, index_dir, "return self", k=5))
     assert "/postings" in bag
+
+
+def test_r5_plan_shapes(spark, corpus_dir):
+    """r5 operators keep the plans you'd want at 100 TB: the suggester
+    broadcasts the token side (one dictionary pass, no shuffle join);
+    composite pages are TakeOrderedAndProject (top-size per partition +
+    driver merge, never a global sort)."""
+    from data_prepper_spark.query.dsl import bucket_agg_adhoc
+    from data_prepper_spark.query.suggest import suggest_terms_adhoc
+
+    docs = spark.read.parquet(corpus_dir)
+    sugg = suggest_terms_adhoc(docs, "content", "retrn vlue", size=5)
+    plan = sugg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    comp = bucket_agg_adhoc(
+        docs.withColumn("doc_len", F.length("content")),
+        {"composite": {"sources": [
+            {"lang": {"terms": {"field": "lang"}}},
+            {"len": {"histogram": {"field": "doc_len", "interval": 100}}},
+        ], "size": 5}},
+    )
+    cplan = comp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in cplan
