@@ -385,6 +385,23 @@ class PipelineRunner:
             )
         if stype == "log_generator":
             return log_generator(self.spark, int(opts.get("count", 1000)))
+        if stype in ("file_stream", "kafka"):
+            # streaming transports through the r5 connector seam: the
+            # reference's continuous listeners (KafkaSource.java:68)
+            # as readStream sources; processors downstream compile
+            # unchanged (Catalyst plans are batch/stream agnostic for
+            # the stateless surface). kafka passes its options verbatim
+            # and is capability-gated when the connector jar is absent.
+            from .sources import read_stream_source
+
+            return read_stream_source(
+                self.spark,
+                "file" if stype == "file_stream" else "kafka",
+                path=opts.get("path"),
+                codec=opts.get("codec", "ndjson" if stype == "kafka" else "parquet"),
+                schema=opts.get("schema"),
+                options=opts.get("options"),
+            )
         raise ValueError(f"unknown source type: {stype}")
 
     # ---- pipeline graph ---------------------------------------------------

@@ -87,6 +87,12 @@ def main() -> None:
                    help="Lucene query_string shorthand, e.g. '+key table pre* -lang:go'")
     s.add_argument("--size", type=int, default=10)
 
+    sg = sub.add_parser("suggest", help='term suggester ("did you mean")')
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--q", required=True, help="text whose tokens get suggestions")
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--max-edits", type=int, default=2)
+
     args = ap.parse_args()
 
     from data_prepper_spark.session import get_spark
@@ -166,6 +172,12 @@ def main() -> None:
         search_body(spark, args.index, body).show(
             int(body["size"]), truncate=False
         )
+    elif args.cmd == "suggest":
+        from data_prepper_spark.query.suggest import suggest_terms
+
+        suggest_terms(
+            spark, args.index, args.q, size=args.size, max_edits=args.max_edits
+        ).orderBy("token", "rank").show(100, truncate=False)
     elif args.cmd == "build-positions":
         from data_prepper_spark.query.phrase import build_positions
 

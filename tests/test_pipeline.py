@@ -296,3 +296,45 @@ def test_r5_registry_trace_metrics_dedupe(spark, tmp_path):
         "shingle_n": 1}}]
     comp = PipelineRunner(spark, model3, dataframes={"d": docs}).sink_frames("p")[0][1].collect()
     assert {(r.id, r.component) for r in comp} == {(1, 1), (2, 1), (3, 3)}
+
+
+def test_r5_yaml_stream_source(spark, tmp_path):
+    """r5: a YAML pipeline can boot from a streaming source via the
+    connector seam — processors compile unchanged, the sink frame is a
+    streaming DataFrame the caller triggers; kafka YAML sources raise the
+    capability error without the jar."""
+    from data_prepper_spark.pipeline import PipelineRunner
+
+    d = tmp_path / "in"
+    spark.createDataFrame(
+        [(i, "click" if i % 2 else "view", float(i)) for i in range(40)],
+        "event_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(str(d))
+    model = {
+        "p": {
+            "source": {"file_stream": {"path": str(d), "codec": "parquet"}},
+            "processor": [
+                {"uppercase_string": {"with_keys": ["event_type"]}},
+                {"drop_events": {"drop_when": "/value < 10"}},
+            ],
+            "sink": [{"stdout": {}}],
+        }
+    }
+    sdf = PipelineRunner(spark, model).sink_frames("p")[0][1]
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory").queryName("yaml_stream_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("yaml_stream_out").collect()
+    assert len(rows) == 30  # 40 minus the 10 dropped
+    assert {r.event_type for r in rows} == {"CLICK", "VIEW"}
+
+    import pytest as _pytest
+
+    kmodel = {"k": {"source": {"kafka": {"options": {
+        "kafka.bootstrap.servers": "localhost:9092", "subscribe": "t"}}},
+        "sink": [{"stdout": {}}]}}
+    with _pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        PipelineRunner(spark, kmodel).sink_frames("k")
