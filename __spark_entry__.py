@@ -145,6 +145,9 @@ from scored {filter_join} order by score desc, doc_id asc limit {k}
         "ft_bm25_topk": bm25_sql(tokenize_py(FT_QUERY), 10),
         "ft_bm25_topk2": bm25_sql(tokenize_py(FT_QUERY2), 20),
         "ft_bm25_filtered": bm25_sql(tokenize_py(FT_QUERY), 10, doc_where="lang = 'en'"),
+        "ft_delete_soft": bm25_sql(
+            tokenize_py(FT_QUERY), 1000000, doc_where="doc_id not in (1, 2, 3)"
+        ),
         "ft_multi_match": f"""
             select rank, doc_id, round(score * 3, 4) as score
             from ({bm25_sql(tokenize_py(FT_QUERY), 10)}) order by rank""",
@@ -1001,6 +1004,49 @@ def q_ann_cosine_topk(spark, sf_dir):
     qvec = emb.where("vec_id = 0").select("embedding").collect()[0][0]
     top = similarity.brute_force_topk(emb, "embedding", "vec_id", list(qvec), k=10)
     return top.select(F.col("id").alias("vec_id"), F.round("sim", 4).alias("sim"))
+
+
+def q_ft_delete_soft(spark, sf_dir):
+    """Soft delete through the live index (index/build.delete_docs):
+    builds a real index over the documents table, tombstones three docs,
+    and runs block-max WAND — deleted docs vanish while every survivor
+    keeps its full-corpus BM25 score (Lucene delete-then-merge: stats
+    change only at refresh purge). Oracle = full-corpus BM25 minus the
+    victims, so this row proves the live-docs filter AND the
+    stats-unchanged semantic in one shot. Original doc ids ride the
+    index's repo attribute so the oracle can address them."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from data_prepper_spark.index.build import build_index, delete_docs
+    from data_prepper_spark.query.wand import bm25_topk_wand
+
+    base = _os.path.join(tempfile.gettempdir(), "dps_delete_idx")
+    src, idx = _os.path.join(base, "src"), _os.path.join(base, "idx")
+    shutil.rmtree(base, ignore_errors=True)
+    _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.lit("p").alias("path"), F.lit("c").alias("commit"),
+        "lang", F.col("text").alias("content"),
+    ).repartition(2).write.parquet(src)
+    build_index(spark, src, idx, n_shards=8, units=1, shard_groups=1)
+    docs = spark.read.parquet(f"{idx}/docs").select("doc_id", "repo")
+    victims = [
+        r.doc_id for r in docs.where(F.col("repo").isin("1", "2", "3")).collect()
+    ]
+    delete_docs(spark, idx, victims)
+    from pyspark.sql.window import Window
+
+    out = bm25_topk_wand(spark, idx, FT_QUERY, k=1000000)
+    mapped = out.join(docs, "doc_id").select(
+        F.col("repo").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+    w = F.row_number().over(
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return mapped.select(w.cast("int").alias("rank"), "doc_id", "score")
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -2541,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embed_top_pairs": q_embed_top_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ft_delete_soft": q_ft_delete_soft,
         "agg_put_all": q_agg_put_all,
         "agg_append": q_agg_append,
         "agg_percent_sampler": q_agg_percent_sampler,

@@ -412,14 +412,60 @@ def _run_stage_a(
         mark(f"stageA unit {u}")
 
 
-def _ledger_stats(io: TableIO, spark: SparkSession) -> tuple[int, float]:
+def _ledger_stats(
+    io: TableIO, spark: SparkSession, minus: tuple[int, int] = (0, 0)
+) -> tuple[int, float]:
     """(n_docs, avgdl) rolled up from the per-unit ledger counters — a pure
     computation (no table write), so maintenance flows can size their work
-    before deciding when the new stats become visible to queries."""
+    before deciding when the new stats become visible to queries.
+    ``minus`` = (doc_count, doc_len_sum) to subtract (tombstoned docs)."""
     arows = [r for r in _ledger_latest(io, spark) if r["stage"] == "A" and r["state"] == "done"]
-    n_docs = sum(int(r["docs_tokenized"]) for r in arows)
-    dl_sum = sum(int(r["doc_len_sum"]) for r in arows)
+    n_docs = sum(int(r["docs_tokenized"]) for r in arows) - minus[0]
+    dl_sum = sum(int(r["doc_len_sum"]) for r in arows) - minus[1]
     return n_docs, dl_sum / max(n_docs, 1)
+
+
+def _tombstone_totals(spark: SparkSession, io: TableIO) -> tuple[int, int]:
+    """(count, doc_len_sum) of tombstoned docs still present in the docs
+    table — the stats adjustment a purge-aware merge applies. Zero-cost
+    when no delete has ever happened (no table, no job)."""
+    if not io.exists("tombstones"):
+        return 0, 0
+    t = spark.read.parquet(io.path("tombstones")).select("doc_id").distinct()
+    row = (
+        spark.read.parquet(io.path("docs"))
+        .join(F.broadcast(t), "doc_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("d"), F.sum("doc_len").alias("dl"))
+        .collect()[0]
+    )
+    return int(row["d"] or 0), int(row["dl"] or 0)
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
+    """Soft-delete documents from a built index (the reference's
+    opensearch sink 'delete' bulk action, OpenSearchSink.java bulk
+    surface; Lucene semantics end-to-end):
+
+    - doc_ids land in the ``tombstones`` table; every query path
+      constructed afterwards anti-joins it (live-docs filtering), so the
+      docs vanish from results immediately — while BM25 statistics
+      (df, avgdl, N) keep counting them, exactly like Lucene between a
+      deleteDocument and the merge that purges it.
+    - the next ``refresh_index`` purges physically: tombstoned postings
+      are dropped from the re-merged blocks + dictionary and the corpus
+      stats are recomputed minus the deleted docs — after which the
+      index is byte-equivalent to one built without those docs.
+
+    Append-only + dedup-on-read = idempotent; an engine instance pins
+    the tombstone set at construction (same snapshot discipline as the
+    generation pointer). Returns the number of ids submitted."""
+    io = TableIO(index_dir)
+    ids = [(int(d),) for d in doc_ids]
+    if ids:
+        spark.createDataFrame(ids, "doc_id long").coalesce(1).write.mode(
+            "append"
+        ).parquet(io.path("tombstones"))
+    return len(ids)
 
 
 def resolved_table_path(index_dir: str, name: str) -> str:
@@ -471,8 +517,9 @@ def _write_corpus_stats(
     table; resume-safe because the ledger is durable per unit. ``layered``
     counts un-merged block segments (remerge=False adds); query kernels
     switch to avgdl-independent tf-only pruning bounds while it is
-    non-zero."""
-    n_docs, avgdl = _ledger_stats(io, spark)
+    non-zero. Tombstoned docs are subtracted so every stats write agrees
+    with the live-docs view (no-op when no delete ever happened)."""
+    n_docs, avgdl = _ledger_stats(io, spark, minus=_tombstone_totals(spark, io))
     if io.catalog == "parquet":
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -888,8 +935,15 @@ def refresh_index(
         canonical = {r["unit_id"] for r in b_rows} - {r["unit_id"] for r in layered_rows}
         shard_groups = max(1, len(canonical))
 
-    n_docs, avgdl = _ledger_stats(io, spark)  # computed only; written post-swap
+    # purge-on-merge: tombstoned docs drop out of the re-merged blocks,
+    # dictionary, AND the stats (Lucene's delete-then-merge); stats are
+    # computed only here — written post-swap
+    minus = _tombstone_totals(spark, io)
+    n_docs, avgdl = _ledger_stats(io, spark, minus=minus)
     postings = spark.read.parquet(io.path("postings"))
+    if minus[0]:
+        t = spark.read.parquet(io.path("tombstones")).select("doc_id").distinct()
+        postings = postings.join(F.broadcast(t), "doc_id", "left_anti")
     if n_shards is None:
         n_shards = int(postings.agg(F.max("shard")).collect()[0][0]) + 1
     _mark("stats")

@@ -48,9 +48,10 @@ def bm25_topk(
         "doc_id",
         score_expr(F.col("idf"), F.col("tf"), F.col("doc_len"), avgdl).alias("s"),
     )
+    from .common import live_filter
+
     topk = (
-        scored.groupBy("doc_id")
-        .agg(F.sum("s").alias("score"))
+        live_filter(spark, io, scored.groupBy("doc_id").agg(F.sum("s").alias("score")))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -93,9 +94,11 @@ def bm25_topk_filtered(
         .groupBy("doc_id")
         .agg(F.sum("s").alias("score"))
     )
+    from .common import live_filter
+
     allowed = io.read(spark, "docs").where(predicate).select("doc_id")
     topk = (
-        scored.join(allowed, "doc_id", "left_semi")
+        live_filter(spark, io, scored.join(allowed, "doc_id", "left_semi"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

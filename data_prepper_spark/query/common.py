@@ -102,3 +102,27 @@ def query_term_stats(
         }
         for r in rows
     }
+
+
+def live_filter(spark, io, df, broadcast_side: bool = True):
+    """Lucene live-docs filtering: anti-join the ``tombstones`` table
+    (index/build.delete_docs) when it exists. Deleted docs vanish from
+    results immediately; corpus statistics keep counting them until
+    refresh_index purges (delete-then-merge semantics). Zero overhead on
+    an index that never saw a delete (one existence check, no job).
+    ``io=None`` (index-free adhoc compilers) is a no-op — deletes are an
+    index concept; adhoc paths score whatever frame they are given."""
+    if io is None or not io.exists("tombstones"):
+        return df
+    t = spark.read.parquet(io.path("tombstones")).select("doc_id").distinct()
+    if broadcast_side:
+        t = F.broadcast(t)
+    return df.join(t, "doc_id", "left_anti")
+
+
+def tombstone_count(spark, io) -> int:
+    """Distinct tombstoned ids (0 when none): serving kernels widen their
+    per-shard top-k by this so post-filter top-k stays exact."""
+    if not io.exists("tombstones"):
+        return 0
+    return spark.read.parquet(io.path("tombstones")).select("doc_id").distinct().count()

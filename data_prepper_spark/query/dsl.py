@@ -114,7 +114,13 @@ class _Compiler:
         return self.io.read(self.spark, "postings")
 
     def _docs_df(self) -> DataFrame:
-        return self.io.read(self.spark, "docs")
+        # live-docs: tombstoned docs vanish from every filter leaf,
+        # match_all, and search-body attribute join (Lucene delete
+        # semantics; index/build.delete_docs). Scoring leaves filter in
+        # _score_terms / their own engines.
+        from .common import live_filter
+
+        return live_filter(self.spark, self.io, self.io.read(self.spark, "docs"))
 
     def _has_positions(self) -> bool:
         return self.io.exists("positions")
@@ -146,7 +152,7 @@ class _Compiler:
         posts = self._postings_df().where(
             F.col("term").isin(list(tstats))
         )
-        return (
+        scored = (
             posts.join(F.broadcast(idf_df), "term")
             .select(
                 "doc_id",
@@ -157,6 +163,9 @@ class _Compiler:
             .groupBy("doc_id")
             .agg(F.sum("s").alias("score"))
         )
+        from .common import live_filter
+
+        return live_filter(self.spark, self.io, scored)
 
     def _score_leaf(self, kind: str, body: Any) -> DataFrame | None:
         """None = clause matches nothing (absent terms)."""

@@ -77,6 +77,26 @@ class IndexQueryEngine:
         self._dict_path = (
             self.io.rpath("dictionary") if self.io.exists("dictionary") else None
         )
+        # live-docs snapshot, pinned at construction like the generation
+        # pointer: deletes issued later need a new engine (same rule as
+        # refresh). Serving kernels widen per-shard top-k by the tombstone
+        # count so post-filter top-k stays exact; the count shrinks back
+        # to zero when refresh purges — Lucene's delete-then-merge cost
+        # curve. Zero overhead when no delete ever happened.
+        from .common import tombstone_count
+
+        self._n_tombstones = tombstone_count(spark, self.io)
+        self._dead_ids: list[int] = (
+            [
+                int(r["doc_id"])
+                for r in spark.read.parquet(self.io.path("tombstones"))
+                .select("doc_id")
+                .distinct()
+                .collect()
+            ]
+            if 0 < self._n_tombstones <= 1000
+            else []
+        )
         _seg = self.io.rpath("posting_blocks/_segdict")
         self._segdict_path = _seg if _os.path.isdir(_seg) else None
         self.blocks = self.io.read(spark, "posting_blocks")
@@ -176,6 +196,20 @@ class IndexQueryEngine:
             self._result_cache.popitem(last=False)
         return rows
 
+    def _drop_dead(self, df: DataFrame) -> DataFrame:
+        """Live-docs filter over a (small) candidate frame: literal
+        NOT-IN for few tombstones, broadcast anti-join beyond that."""
+        if not self._n_tombstones:
+            return df
+        if self._dead_ids:
+            return df.where(~F.col("doc_id").isin(self._dead_ids))
+        t = (
+            self.spark.read.parquet(self.io.path("tombstones"))
+            .select("doc_id")
+            .distinct()
+        )
+        return df.join(F.broadcast(t), "doc_id", "left_anti")
+
     def _topk_df(self, query_text: str, k: int) -> DataFrame:
         terms = sorted(set(tokenize_py(query_text)))
         tstats = self._term_stats(terms)
@@ -183,7 +217,7 @@ class IndexQueryEngine:
         if not tstats:
             return self.spark.createDataFrame([], empty)
         hstats = {s["hash"]: s for s in tstats.values()}
-        avgdl, n = self.avgdl, k
+        avgdl, n = self.avgdl, k + self._n_tombstones
         thr, bounds = self._thr, self._bounds
 
         import pandas as pd
@@ -207,7 +241,9 @@ class IndexQueryEngine:
         filtered = self.blocks.where(F.col("term_hash").isin(list(hstats)))
         if not self._prepartitioned:
             filtered = filtered.repartition(self.shard_partitions, "shard")
-        local = filtered.mapInPandas(per_shard, "doc_id long, score double")
+        local = self._drop_dead(
+            filtered.mapInPandas(per_shard, "doc_id long, score double")
+        )
         topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         from pyspark.sql.window import Window
 
@@ -240,7 +276,7 @@ class IndexQueryEngine:
         empty = "query_id string, rank int, doc_id long, score double"
         if not all_hashes:
             return self.spark.createDataFrame([], empty)
-        avgdl, n = self.avgdl, k
+        avgdl, n = self.avgdl, k + self._n_tombstones
         from .wand import batch_exhaustive_shard
 
         thr, bounds = self._thr, self._bounds
@@ -283,7 +319,9 @@ class IndexQueryEngine:
         filtered = self.blocks.where(F.col("term_hash").isin(list(all_hashes)))
         if not self._prepartitioned:
             filtered = filtered.repartition(self.shard_partitions, "shard")
-        local = filtered.mapInPandas(per_shard, "query_id string, doc_id long, score double")
+        local = self._drop_dead(
+            filtered.mapInPandas(per_shard, "query_id string, doc_id long, score double")
+        )
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -62,15 +62,20 @@ def terms_topk(
     idf_df = spark.createDataFrame(
         [(t, s["idf"]) for t, s in tstats.items()], "term string, idf double"
     )
+    from .common import live_filter
+
     posts = io.read(spark, "postings").where(F.col("term").isin(list(tstats)))
     topk = (
-        posts.join(F.broadcast(idf_df), "term")
-        .select(
-            "doc_id",
-            score_expr(F.col("idf"), F.col("tf"), F.col("doc_len"), avgdl).alias("s"),
+        live_filter(
+            spark, io,
+            posts.join(F.broadcast(idf_df), "term")
+            .select(
+                "doc_id",
+                score_expr(F.col("idf"), F.col("tf"), F.col("doc_len"), avgdl).alias("s"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("s").alias("score")),
         )
-        .groupBy("doc_id")
-        .agg(F.sum("s").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -138,11 +143,14 @@ def facet_counts(
     empty = f"{facet_field} string, doc_count long"
     if not terms:
         return spark.createDataFrame([], empty)
-    hits = (
+    from .common import live_filter
+
+    hits = live_filter(
+        spark, io,
         io.read(spark, "postings")
         .where(F.col("term").isin(terms))
         .select("doc_id")
-        .distinct()
+        .distinct(),
     )
     docs = io.read(spark, "docs").select("doc_id", facet_field)
     return (
@@ -560,11 +568,14 @@ def significant_terms(
             [], "term string, fg_count long, bg_count long, score double"
         )
     n_docs, _ = load_stats(spark, io)
-    hits = (
+    from .common import live_filter
+
+    hits = live_filter(
+        spark, io,
         io.read(spark, "postings")
         .where(F.col("term").isin(qterms))
         .select("doc_id")
-        .distinct()
+        .distinct(),
     )
     return _significant_from_hits(
         spark, io, hits, n_docs, size=size,

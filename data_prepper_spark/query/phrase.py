@@ -199,7 +199,12 @@ def phrase_docs(
         )
         cur = tj if cur is None else cur.join(tj, ["shard", "doc_id"])
     pos_cols = [F.col(f"pos_{j}") for j in range(len(terms))]
-    matched = cur.withColumn("__m", _match_filter(pos_cols, slop)).where(F.size("__m") > 0)
+    from .common import live_filter
+
+    matched = live_filter(
+        spark, io,
+        cur.withColumn("__m", _match_filter(pos_cols, slop)).where(F.size("__m") > 0),
+    )
     sel = ["doc_id", F.size("__m").cast("int").alias("n_matches")]
     if slop > 0:
         # weighted frequency for Lucene-style sloppy scoring (exact
@@ -546,8 +551,11 @@ def phrase_prefix_scores(
         matched = last.select(
             "doc_id", F.size(f"pos_{n_lead}").cast("int").alias("n_matches")
         )
-    dl = TableIO(index_dir).read(spark, "docs").select("doc_id", "doc_len")
-    return matched.join(dl, "doc_id").select(
+    from .common import live_filter
+
+    io2 = TableIO(index_dir)
+    dl = io2.read(spark, "docs").select("doc_id", "doc_len")
+    return live_filter(spark, io2, matched.join(dl, "doc_id")).select(
         "doc_id",
         score_expr(
             F.lit(sum_idf), F.col("n_matches").cast("double"),

@@ -615,6 +615,12 @@ def bm25_topk_wand(
     # pointer kernel keeps working, no forced exhaustive scan
     bounds = "tf" if layered else "wtf"
     thr = EXHAUSTIVE_THRESHOLD if exhaustive_threshold is None else exhaustive_threshold
+    # live-docs: widen the per-shard kernel top-k by the tombstone count
+    # so the post-filter global top-k stays exact (Lucene's pre-merge
+    # deleted-docs cost curve; refresh purges it back to zero)
+    from .common import live_filter, tombstone_count
+
+    kk = k + tombstone_count(spark, io)
 
     def per_shard(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # mapInPandas over shard-partitioned scan: each incoming batch holds
@@ -625,13 +631,16 @@ def bm25_topk_wand(
                 buf.setdefault(int(s), []).append(grp)
         rows = []
         for s, parts in buf.items():
-            hits = _wand_shard(pd.concat(parts), hstats, avgdl, k, thr, bounds)
+            hits = _wand_shard(pd.concat(parts), hstats, avgdl, kk, thr, bounds)
             rows.extend(hits)
         yield pd.DataFrame(rows, columns=["doc_id", "score"]) if rows else pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
         )
 
-    local = blocks.repartition("shard").mapInPandas(per_shard, "doc_id long, score double")
+    local = live_filter(
+        spark, io,
+        blocks.repartition("shard").mapInPandas(per_shard, "doc_id long, score double"),
+    )
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     from pyspark.sql.window import Window
 
