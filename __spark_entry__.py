@@ -1066,6 +1066,17 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_embed_dup_clusters(spark, sf_dir):
+    """Embedding near-dup clustering: connected components over the
+    cosine-threshold pair graph (similarity.embedding_dup_clusters —
+    pair generation composed with the shared min-label propagation;
+    exact pair method here for the oracle, LSH is the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_clusters(
+        emb, "embedding", "vec_id", dim=64, threshold=0.45, method="exact"
+    )
+
+
 def q_embed_top_pairs(spark, sf_dir):
     """Embedding near-dup pairs (the all-pairs verification path of
     operators/similarity.embedding_pairs): global top-20 most-similar
@@ -1483,6 +1494,19 @@ def _textops_oracles() -> dict[str, str]:
             from embeddings cross join q
             order by list_cosine_similarity(embedding::DOUBLE[], qv) desc, vec_id asc
             limit 10""",
+        "embed_dup_clusters": """
+            with recursive pairs as (
+              select a.vec_id as id_a, b.vec_id as id_b
+              from embeddings a join embeddings b on a.vec_id < b.vec_id
+              where round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 4) >= 0.45),
+            edges as (select id_a as src, id_b as dst from pairs
+                      union select id_b, id_a from pairs),
+            reach(id, r) as (
+              select vec_id, vec_id from embeddings
+              union
+              select r.id, e.dst from reach r join edges e on e.src = r.r)
+            select id, min(r) as component from reach group by id""",
         "embed_top_pairs": """
             select id_a, id_b, cosine from (
               select a.vec_id as id_a, b.vec_id as id_b,
@@ -2586,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embed_top_pairs": q_embed_top_pairs,
+        "embed_dup_clusters": q_embed_dup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ft_delete_soft": q_ft_delete_soft,
         "agg_put_all": q_agg_put_all,

@@ -337,3 +337,28 @@ def ivf_topk(
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(k)
     )
+
+
+def embedding_dup_clusters(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 6,
+    n_tables: int = 4,
+) -> DataFrame:
+    """(id, component): connected components over the embedding near-dup
+    pair graph — the 'which embeddings are the same item' step (keep
+    id == component, drop the rest), composing embedding_pairs with the
+    shared min-label propagation (operators/dedupe.connected_components).
+    Every id appears (singletons are their own component)."""
+    from .dedupe import connected_components
+
+    pairs = embedding_pairs(
+        df, vec_col, id_col, dim=dim, threshold=threshold,
+        method=method, n_planes=n_planes, n_tables=n_tables,
+    ).select("id_a", "id_b")
+    ids = df.select(F.col(id_col).alias("id"))
+    return connected_components(pairs, ids=ids)

@@ -132,3 +132,52 @@ def test_purge_on_refresh_equals_clean_build(spark, del_index, corpus_dir, tmp_p
     assert [(r.doc_id, round(r.score, 9)) for r in purged] == [
         (r.doc_id, round(r.score, 9)) for r in want
     ]
+
+
+def test_delete_on_layered_index(spark, corpus_dir, tmp_path):
+    """Deletes work on NRT/layered indexes: tombstones from both the base
+    and a layered segment vanish (tf-only bounds are delete-safe), and
+    the refresh that compacts segments purges them too."""
+    import os
+    import shutil
+
+    from data_prepper_spark.index.build import add_to_index, refresh_index
+    from data_prepper_spark.query.engine import IndexQueryEngine
+
+    files = sorted(f for f in os.listdir(corpus_dir) if f.endswith(".parquet"))
+    cut = max(1, len(files) * 7 // 8)
+    base_d, add_d = str(tmp_path / "base"), str(tmp_path / "add")
+    os.makedirs(base_d), os.makedirs(add_d)
+    for i, f in enumerate(files):
+        shutil.copy(os.path.join(corpus_dir, f), base_d if i < cut else add_d)
+    idx = str(tmp_path / "idx")
+    build_index(spark, base_d, idx, n_shards=8, units=1, shard_groups=1)
+    add_to_index(spark, add_d, idx, n_shards=8, units=1, remerge=False)
+
+    before = bm25_topk_wand(spark, idx, "def", k=100000).collect()
+    base_ids = {
+        r.doc_id
+        for r in spark.read.parquet(base_d)
+        .select(doc_id_col().alias("doc_id")).collect()
+    }
+    in_base = [r.doc_id for r in before if r.doc_id in base_ids]
+    in_add = [r.doc_id for r in before if r.doc_id not in base_ids]
+    assert in_base and in_add, "query must hit both segments"
+    victims = [in_base[0], in_add[0]]
+    delete_docs(spark, idx, victims)
+
+    exp = [(r.doc_id, round(r.score, 9)) for r in before if r.doc_id not in victims]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25_topk_wand(spark, idx, "def", k=100000).collect()
+    ]
+    assert got == exp
+    eng = IndexQueryEngine(spark, idx)
+    assert [r.doc_id for r in eng.topk("def", 5).collect()] == [d for d, _ in exp[:5]]
+    eng.close()
+
+    r = refresh_index(spark, idx)
+    after = {r2.doc_id for r2 in bm25_topk_wand(spark, idx, "def", k=100000).collect()}
+    assert not (after & set(victims))
+    n_all = spark.read.parquet(corpus_dir).count()
+    assert r.n_docs == n_all - 2
